@@ -1,0 +1,208 @@
+"""Euclidean power cone: {y : s >= ||q||_2^p}, [q; s] = A(x) y[idx] + b(x).
+
+Barrier: -log(s^(2/p) - ||q||^2) - mu(p) log(s), with mu = 0 for p in {1, 2},
+1 for p < 2, 2 for p > 2 (mu precomputed per node on host). Gradient and
+Hessian are hand-coded closed forms; tests cross-check them against
+``jax.grad``/``jax.hessian`` (the reference does the same with symmetry
+checks). Mirrors reference ``src/convex_euclidian_power.jl`` (functors at
+lines 66-253, constructor at 352-453).
+
+TPU notes: per-node functions are pure and shape-static; they vmap over the
+node axis and fuse into the surrounding barrier einsums under jit.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.log import Log, safe_pow
+from ._common import resolve_x, sample_grid, scatter_vec, scatter_mat, gather
+from .convex import Convex, input_spec_from_idx
+
+
+def _mu_of_p(p):
+    p = np.asarray(p, dtype=np.float64)
+    mu = np.where(p < 2.0, 1.0, 2.0)
+    mu = np.where((p == 1.0) | (p == 2.0), 0.0, mu)
+    return mu
+
+
+def _core_parts(A_row, b_row, idx, y):
+    nz = b_row.shape[0]
+    Ax = A_row.reshape(nz, nz)
+    yi = gather(idx, y)
+    z = Ax @ yi + b_row
+    return Ax, z[:-1], z[-1]
+
+
+def _core_grad(q, s, p0, mu):
+    """Gradient of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:387-397."""
+    alpha = 2.0 / p0
+    q_sq = q @ q
+    s_a = safe_pow(s, alpha)
+    r = s_a - q_sq
+    inv_r = 1.0 / r
+    grad_q = (2.0 * inv_r) * q
+    s_am1 = safe_pow(s, alpha - 1.0)
+    grad_s = -alpha * s_am1 * inv_r - mu / s
+    return jnp.concatenate([grad_q, grad_s[None]])
+
+
+def _core_hess(q, s, p0, mu):
+    """Hessian of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:400-433."""
+    alpha = 2.0 / p0
+    q_sq = q @ q
+    s_a = safe_pow(s, alpha)
+    r = s_a - q_sq
+    inv_r = 1.0 / r
+    inv_r2 = inv_r * inv_r
+    s_am1 = safe_pow(s, alpha - 1.0)
+    coef_qs = -2.0 * alpha * s_am1 * inv_r2
+    s_am2 = safe_pow(s, alpha - 2.0)
+    s_2am2 = safe_pow(s, 2.0 * alpha - 2.0)
+    H_ss = (-alpha * (alpha - 1.0) * s_am2 * inv_r
+            + alpha * alpha * s_2am2 * inv_r2 + mu / (s * s))
+    Hqq = 4.0 * inv_r2 * jnp.outer(q, q) + 2.0 * inv_r * jnp.eye(q.shape[0], dtype=q.dtype)
+    cross = coef_qs * q
+    top = jnp.concatenate([Hqq, cross[:, None]], axis=1)
+    bot = jnp.concatenate([cross, H_ss[None]])[None, :]
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
+                           A_grid=None, b_grid=None, p_grid=None,
+                           x=None, dtype=None):
+    """Build the Euclidean-power-cone Convex.
+
+    Parameters mirror the reference constructor: ``idx`` is a tuple of 0-based
+    positions into the per-node input vector y = Dz (None = all rows);
+    ``A(x)->(nz,nz)``, ``b(x)->(nz,) or scalar``, ``p(x)->scalar`` (or a plain
+    number) are sampled at the mesh nodes unless pre-built grids are passed.
+    """
+    if dtype is None:
+        from .._config import default_dtype
+
+        dtype = default_dtype()
+    xs = resolve_x(mg) if x is None else np.asarray(x)
+    n = xs.shape[0]
+
+    idx_t = None if idx is None else tuple(int(i) for i in idx)
+
+    # ---- grids -----------------------------------------------------------
+    if A_grid is None:
+        if idx_t is not None:
+            nz = len(idx_t)
+        else:
+            if A is None:
+                raise ValueError("idx=None needs a matrix-valued A (or A_grid) "
+                                 "to determine the constraint dimension")
+            nz = np.asarray(A(xs[0])).shape[0]
+        if A is None:
+            A_grid = np.tile(np.eye(nz, dtype=dtype).reshape(1, -1), (n, 1))
+        else:
+            A_grid = sample_grid(lambda xi: np.asarray(A(xi), dtype=dtype).reshape(-1),
+                                 xs, dtype)
+    else:
+        A_grid = np.asarray(A_grid, dtype=dtype)
+        nz = int(round(np.sqrt(A_grid.shape[1])))
+        if nz * nz != A_grid.shape[1]:
+            raise ValueError("A_grid columns must be a square count nz^2")
+    if idx_t is not None and len(idx_t) != nz:
+        raise ValueError(f"len(idx)={len(idx_t)} but A implies nz={nz}")
+
+    if b_grid is None:
+        if b is None:
+            b_grid = np.zeros((n, nz), dtype=dtype)
+        else:
+            b0 = np.asarray(b(xs[0]))
+            if b0.ndim == 0:
+                # scalar b lands in the s slot (last), zeros elsewhere
+                def bfn(xi):
+                    out = np.zeros((nz,), dtype=dtype)
+                    out[-1] = b(xi)
+                    return out
+                b_grid = sample_grid(bfn, xs, dtype)
+            else:
+                b_grid = sample_grid(lambda xi: np.asarray(b(xi), dtype=dtype), xs, dtype)
+    else:
+        b_grid = np.asarray(b_grid, dtype=dtype)
+    if b_grid.shape[1] != nz:
+        raise ValueError(f"b_grid has {b_grid.shape[1]} values/node, need nz={nz}")
+
+    if p_grid is None:
+        if callable(p):
+            p_grid = sample_grid(lambda xi: np.asarray(p(xi), dtype=dtype), xs, dtype)[:, 0]
+        else:
+            p_grid = np.full((n,), float(p), dtype=dtype)
+    else:
+        p_grid = np.asarray(p_grid, dtype=dtype)
+    mu_grid = _mu_of_p(p_grid).astype(dtype)
+
+    spec = input_spec_from_idx(idx_t, nz)
+
+    # ---- per-node functions ---------------------------------------------
+    def F0(A_row, b_row, p_val, mu_val, y):
+        _, q, s = _core_parts(A_row, b_row, idx_t, y)
+        alpha = 2.0 / p_val
+        return -Log(safe_pow(s, alpha) - q @ q) - mu_val * Log(s)
+
+    def F1(A_row, b_row, p_val, mu_val, y):
+        Ax, q, s = _core_parts(A_row, b_row, idx_t, y)
+        g = Ax.T @ _core_grad(q, s, p_val, mu_val)
+        return scatter_vec(idx_t, g, y.shape[0])
+
+    def F2(A_row, b_row, p_val, mu_val, y):
+        Ax, q, s = _core_parts(A_row, b_row, idx_t, y)
+        H = Ax.T @ _core_hess(q, s, p_val, mu_val) @ Ax
+        return scatter_mat(idx_t, H, y.shape[0])
+
+    # cobarrier: y carries an appended slack; s_eff = s + slack
+    def _co_parts(A_row, b_row, yhat):
+        y = yhat[:-1]
+        slack = yhat[-1]
+        nz_ = b_row.shape[0]
+        Ax = A_row.reshape(nz_, nz_)
+        yi = gather(idx_t, y)
+        z = Ax @ yi + b_row
+        return Ax, z[:-1], z[-1] + slack
+
+    def C0(A_row, b_row, p_val, mu_val, yhat):
+        _, q, s = _co_parts(A_row, b_row, yhat)
+        alpha = 2.0 / p_val
+        return -Log(safe_pow(s, alpha) - q @ q) - mu_val * Log(s)
+
+    def C1(A_row, b_row, p_val, mu_val, yhat):
+        Ax, q, s = _co_parts(A_row, b_row, yhat)
+        gz = _core_grad(q, s, p_val, mu_val)
+        g = Ax.T @ gz
+        N1 = yhat.shape[0]
+        out = scatter_vec(idx_t, g, N1 - 1)
+        return jnp.concatenate([out, gz[-1][None]])
+
+    def C2(A_row, b_row, p_val, mu_val, yhat):
+        Ax, q, s = _co_parts(A_row, b_row, yhat)
+        Hz = _core_hess(q, s, p_val, mu_val)
+        H = Ax.T @ Hz @ Ax
+        cross = Ax.T @ Hz[:, -1]
+        N1 = yhat.shape[0]
+        out = jnp.zeros((N1, N1), dtype=yhat.dtype)
+        ii = np.arange(N1 - 1) if idx_t is None else np.asarray(idx_t, dtype=np.int32)
+        out = out.at[np.ix_(ii, ii)].set(H)
+        out = out.at[ii, N1 - 1].set(cross)
+        out = out.at[N1 - 1, ii].set(cross)
+        out = out.at[N1 - 1, N1 - 1].set(Hz[-1, -1])
+        return out
+
+    def Slack(A_row, b_row, p_val, mu_val, y):
+        _, q, s = _core_parts(A_row, b_row, idx_t, y)
+        q_sq = q @ q
+        return -jnp.minimum(s - safe_pow(q_sq, p_val / 2.0), s)
+
+    return Convex(
+        args=(jnp.asarray(A_grid), jnp.asarray(b_grid),
+              jnp.asarray(p_grid), jnp.asarray(mu_grid)),
+        barrier=(F0, F1, F2),
+        cobarrier=(C0, C1, C2),
+        slack=Slack,
+        input_spec=spec,
+    )

@@ -1,0 +1,13 @@
+from .pytree import pytree_dataclass
+from .log import Log, safe_pow, Logger
+from .maps import map_rows
+from .errors import MGBConvergenceFailure
+
+__all__ = [
+    "pytree_dataclass",
+    "Log",
+    "safe_pow",
+    "Logger",
+    "map_rows",
+    "MGBConvergenceFailure",
+]

@@ -1,0 +1,56 @@
+"""Barrier log, safe power, and the solve logger.
+
+The "convex programmer's log" returns -inf outside the domain instead of
+raising, so an infeasible trial point makes the barrier value +/-inf (rejected
+by finite-ness checks in the line search) rather than aborting. The reference
+chose exactly this convention so its kernels never throw (reference
+``src/utils.jl:4-14``); under ``jax.jit`` there are no exceptions at all, so
+the same convention is load-bearing here.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def Log(x):
+    """log(x) for x > 0, else -inf (never raises, jit-safe)."""
+    x = jnp.asarray(x)
+    return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), -jnp.inf)
+
+
+def safe_pow(s, alpha):
+    """s**alpha computed as exp(alpha*Log(s)).
+
+    For s <= 0 and alpha > 0 this yields 0 (so enclosing barrier terms go
+    +/-inf and the trial point is rejected) instead of a NaN from a negative
+    base with fractional exponent. Mirrors reference
+    ``src/convex_linear.jl:379-391`` (``_safe_pow``).
+    """
+    return jnp.exp(alpha * Log(s))
+
+
+class Logger:
+    """In-memory per-solve log.
+
+    Mirrors the reference's ``printlog`` closure + ``@mgblog`` tag convention
+    (reference ``src/utils.jl:148-155``): each line is prefixed with the name
+    of the emitting routine, lines accumulate into ``MGBSOL.log``, and nothing
+    is ever written to stdout unless a stream is supplied.
+    """
+
+    def __init__(self, stream=None):
+        self.lines: list[str] = []
+        self.stream = stream
+
+    def __call__(self, tag: str, *args):
+        msg = tag + ":" + "".join(str(a) for a in args)
+        self.lines.append(msg)
+        if self.stream is not None:
+            print(msg, file=self.stream)
+
+    def text(self) -> str:
+        return "\n".join(self.lines) + ("\n" if self.lines else "")
+
+
+def null_log(tag: str, *args):  # pragma: no cover - trivial
+    pass

@@ -1,0 +1,28 @@
+"""Test configuration: force CPU with an 8-device virtual mesh and x64.
+
+This environment registers a TPU ("axon") PJRT plugin via sitecustomize and
+sets ``jax_platforms="axon,cpu"`` programmatically, which overrides the
+JAX_PLATFORMS env var; tests must run on CPU (golden-value parity with the
+Float64 reference needs x64, and the TPU tunnel serializes processes), so we
+flip the platform through the config API before any backend initializes.
+The sharding tests use a virtual 8-device CPU mesh.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+if _xb.backends_are_initialized():  # pragma: no cover - depends on harness
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
