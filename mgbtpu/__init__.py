@@ -1,0 +1,42 @@
+"""mgbtpu — TPU-native multigrid barrier framework.
+
+A from-scratch JAX/XLA implementation of quasi-optimal interior-point
+solvers for convex variational problems in function spaces (p-Laplacian for
+p in [1, inf], total-variation denoising, obstacle problems, minimal
+surfaces, power-law elasticity, and parabolic variants), with the capability
+surface of sloisel/MultiGridBarrier.jl redesigned TPU-first: broken FEM
+operators as batched dense blocks on the MXU, hierarchy transfers as static
+gather/segment-sum plans, barrier functionals as vmapped pure per-node
+functions, damped Newton as jitted lax.while_loops, and node/element axes
+sharded with shard_map across chips.
+"""
+from . import _config  # noqa: F401  (enables x64 off-TPU)
+
+from .utils import Log, MGBConvergenceFailure, map_rows
+from .convex import (Convex, convex_euclidian_power, convex_Euclidian_power,
+                     convex_linear, convex_piecewise, intersect)
+from .discretize import (fem1d, fem2d, fem3d, fem2d_P1, fem2d_P2,
+                         spectral1d, spectral2d, tensor_dofmap, Geometry)
+from .hierarchy import (amg, geometric_mg, subdivide, find_boundary,
+                        amg_ruge_stuben, amg_smoothed_aggregation,
+                        prepare_amg, MultiGrid)
+from .solver import (assemble, mgb_solve, MGBProblem, MGBSOL,
+                     linesearch_backtracking, linesearch_illinois,
+                     stopping_exact, stopping_inexact,
+                     default_D, default_f, default_g, default_idx)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Log", "MGBConvergenceFailure", "map_rows",
+    "Convex", "convex_euclidian_power", "convex_Euclidian_power",
+    "convex_linear", "convex_piecewise", "intersect",
+    "fem1d", "fem2d", "fem3d", "fem2d_P1", "fem2d_P2",
+    "spectral1d", "spectral2d", "tensor_dofmap", "Geometry",
+    "amg", "geometric_mg", "subdivide", "find_boundary",
+    "amg_ruge_stuben", "amg_smoothed_aggregation", "prepare_amg", "MultiGrid",
+    "assemble", "mgb_solve", "MGBProblem", "MGBSOL",
+    "linesearch_backtracking", "linesearch_illinois",
+    "stopping_exact", "stopping_inexact",
+    "default_D", "default_f", "default_g", "default_idx",
+]

@@ -1,0 +1,226 @@
+"""MultiGrid (per-subspace prolongation families) and the solver-facing AMG.
+
+A ``MultiGrid`` stores, per subspace symbol ("dirichlet", "full", "uniform",
+user-named Dirichlet classes, discretization riders like "broken_P1"), one
+family of *fine-level prolongations* R[X][l]: the matrix lifting level-l
+X-subspace coefficients directly to the fine broken basis. Per-level
+transfers are composed away at construction (the solver only evaluates the
+barrier at the fine level), but the coefficient-level transfer chain is kept
+for the V-cycle preconditioner. Capability parity with reference
+``src/multigrid.jl`` (MultiGrid at :154-276, amg_helper at :474-512,
+_prepare_amg at :514-538).
+
+All host-side scipy; the device representation is built per level in
+``mgbtpu.solver.levelops``.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..ops.blockdiag import BlockDiagHost, block_column_sparse
+
+
+def _stretch(refine: dict, subspaces: dict):
+    """Pad shallower subspace hierarchies to common depth with identity
+    transitions (ceil-interpolated level map). Reference
+    ``src/multigrid.jl:219-265``."""
+    L_X = {X: len(refine[X]) for X in refine}
+    L_max = max(L_X.values())
+    if all(l == L_max for l in L_X.values()):
+        return refine, subspaces
+    refine_s, subspaces_s = {}, {}
+    for X in refine:
+        Lx = L_X[X]
+        if Lx == L_max:
+            refine_s[X] = refine[X]
+            subspaces_s[X] = subspaces[X]
+            continue
+        synth2nat = [int(np.ceil(Lx * (i + 1) / L_max)) - 1 for i in range(L_max)]
+        rf, ss = [], []
+        for i in range(L_max):
+            ni = synth2nat[i]
+            ss.append(subspaces[X][ni])
+            if i == L_max - 1:
+                rf.append(refine[X][Lx - 1])          # identity at fine
+            elif synth2nat[i + 1] > ni:
+                rf.append(refine[X][ni])              # real AMG step
+            else:
+                m = ss[i].shape[0]
+                rf.append(sp.identity(m, format="csr"))
+        refine_s[X] = rf
+        subspaces_s[X] = ss
+    return refine_s, subspaces_s
+
+
+def _compose(subspaces: dict, refine: dict) -> dict:
+    """R[X][l] = (refine chain l -> L) @ subspaces[X][l]."""
+    out = {}
+    for X in subspaces:
+        rX, sX = refine[X], subspaces[X]
+        L = len(rX)
+        rfp = [None] * L
+        rfp[L - 1] = sp.csr_matrix(rX[L - 1])
+        for l in range(L - 2, -1, -1):
+            rfp[l] = sp.csr_matrix(rfp[l + 1] @ rX[l])
+        out[X] = [sp.csr_matrix(rfp[l] @ sX[l]) for l in range(L)]
+    return out
+
+
+class MultiGrid:
+    """Geometry + per-subspace composed prolongations R[X][l] (l=0 coarsest).
+
+    ``transfers[X][l]`` (when available) maps level-l coefficients to
+    level-(l+1) coefficients: R[X][l] == R[X][l+1] @ transfers[X][l]; used by
+    the multigrid-preconditioned linear solver.
+    """
+
+    def __init__(self, geometry, R: dict, transfers: dict | None = None):
+        self.geometry = geometry
+        self.R = {X: [sp.csr_matrix(m) for m in Rs] for X, Rs in R.items()}
+        self.transfers = transfers
+
+    @classmethod
+    def from_subspaces(cls, geometry, subspaces: dict, refine: dict):
+        refine_s, subspaces_s = _stretch(refine, subspaces)
+        R = _compose(subspaces_s, refine_s)
+        transfers = _coefficient_transfers(subspaces_s, refine_s)
+        return cls(geometry, R, transfers)
+
+    @property
+    def depth(self):
+        return len(next(iter(self.R.values())))
+
+    def xflat(self):
+        return self.geometry.xflat()
+
+
+def _coefficient_transfers(subspaces: dict, refine: dict) -> dict:
+    """Per-subspace level-l -> level-(l+1) coefficient transfers C with
+    subspaces[X][l+1] @ C == refine[X][l] @ subspaces[X][l].
+
+    At intermediate levels the subspace embeddings are identities so
+    C = refine[l] @ sub[l]; at the fine cap the embedding E has (near-)
+    orthogonal sparse columns and coarse spaces are nested in range(E) by
+    construction, so C = (E'E)^{-1} E' (refine sub) with E'E SPD and tiny.
+    """
+    out = {}
+    for X in subspaces:
+        rX, sX = refine[X], subspaces[X]
+        L = len(rX)
+        Cs = []
+        for l in range(L - 1):
+            target = sp.csr_matrix(rX[l] @ sX[l])
+            E = sp.csr_matrix(sX[l + 1])
+            n_next = E.shape[1]
+            if E.shape[0] == E.shape[1] and (E - sp.identity(E.shape[0])).nnz == 0:
+                Cs.append(target)
+                continue
+            EtE = (E.T @ E).tocsc()
+            rhs = (E.T @ target).tocsc()
+            try:
+                C = sp.linalg.spsolve(EtE, rhs)
+                C = sp.csr_matrix(C)
+                if C.shape != (n_next, target.shape[1]):
+                    C = sp.csr_matrix(C.reshape(n_next, target.shape[1]))
+            except Exception:
+                C = None
+            if C is not None:
+                # verify nestedness (drop if the subspace is not nested)
+                err = abs(E @ C - target).max() if target.nnz else 0.0
+                if err > 1e-8 * max(1.0, abs(target).max() if target.nnz else 1.0):
+                    C = None
+            Cs.append(C)
+        out[X] = Cs
+    return out
+
+
+class AMGSystem:
+    """What the solver consumes for one problem (main or feasibility):
+
+    - ``R_fine[l]``: block-diagonal-over-state-variables prolongation of
+      level l into the stacked broken basis (nu*m rows).
+    - ``D_fine[k]``: fine operator k as (BlockDiagHost, active component).
+    Reference ``AMG`` struct + ``amg_helper`` (``src/multigrid.jl:278-512``).
+    """
+
+    def __init__(self, geometry, x, w, R_fine, D_fine, nu, state_variables, D):
+        self.geometry = geometry
+        self.x = x
+        self.w = w
+        self.R_fine = R_fine
+        self.D_fine = D_fine          # list of (BlockDiagHost, comp_index)
+        self.nu = nu
+        self.state_variables = state_variables
+        self.D = D
+
+    @property
+    def depth(self):
+        return len(self.R_fine)
+
+    @property
+    def n_nodes(self):
+        return len(self.w)
+
+    def D_sparse(self, k) -> sp.csr_matrix:
+        op, comp = self.D_fine[k]
+        return block_column_sparse(op, comp, self.nu)
+
+    def apply_D_full(self, z: np.ndarray) -> np.ndarray:
+        """Dz for the full stacked state z (host): (n_nodes, nD)."""
+        m = self.n_nodes
+        out = np.empty((m, len(self.D_fine)), dtype=z.dtype)
+        for k, (op, comp) in enumerate(self.D_fine):
+            out[:, k] = op.matvec(z[comp * m:(comp + 1) * m])
+        return out
+
+
+def amg_helper(mg: MultiGrid, state_variables, D) -> AMGSystem:
+    """Build the solver-facing AMG from a MultiGrid + state table.
+
+    ``state_variables``: list of (name, subspace_symbol); ``D``: list of
+    (state_name, operator_symbol). R_fine[l] is the blockdiag join of each
+    state variable's level-l prolongation; D_fine[k] slots operator k into
+    its variable's column block.
+    """
+    geometry = mg.geometry
+    x = geometry.xflat()
+    w = geometry.w
+    ops = geometry.operators
+    state_variables = [(str(n), str(s)) for n, s in state_variables]
+    nu = len(state_variables)
+    for _, space in state_variables:
+        if space not in mg.R:
+            raise ValueError(f"unknown subspace :{space}; have {sorted(mg.R)}")
+    L = len(mg.R[state_variables[0][1]])
+    R_fine = [sp.block_diag([mg.R[s][l] for _, s in state_variables],
+                            format="csr") for l in range(L)]
+    comp_of = {name: k for k, (name, _) in enumerate(state_variables)}
+    D_fine = []
+    for name, opsym in D:
+        name, opsym = str(name), str(opsym)
+        if name not in comp_of:
+            raise ValueError(f"D references unknown state variable :{name}")
+        if opsym not in ops:
+            raise ValueError(f"D references unknown operator :{opsym}; "
+                             f"available: {sorted(ops)}")
+        D_fine.append((ops[opsym], comp_of[name]))
+    return AMGSystem(geometry, x, w, R_fine, D_fine, nu,
+                     state_variables, [(str(a), str(b)) for a, b in D])
+
+
+def prepare_amg(mg: MultiGrid, *, state_variables, D):
+    """Build the (main, feasibility) AMG pair.
+
+    The feasibility system appends a ``feasibility_slack`` variable in the
+    fully broken space and the operator rows
+    ``(user D..., slack id, one id row per original component)`` — the
+    trailing id rows expose nodal values for the phase-I bounding box.
+    Reference ``_prepare_amg`` (``src/multigrid.jl:514-538``).
+    """
+    M1 = amg_helper(mg, state_variables, D)
+    sv2 = list(state_variables) + [("_feas_slack", "full")]
+    D2 = list(D) + [("_feas_slack", "id")] + \
+        [(name, "id") for name, _ in state_variables]
+    M2 = amg_helper(mg, sv2, D2)
+    return M1, M2

@@ -1,0 +1,128 @@
+"""Per-level batched "panel" operators — the TPU compute core.
+
+For a hierarchy level with prolongation R (broken x n_J) and fine operators
+D_k, the composed operators G_k = D_k R have element-local support: the rows
+of element e touch at most C level columns. We precompute, per element, the
+set of touched columns and the dense panels G_k[rows(e), cols(e)] — after
+which every barrier evaluation is a batched einsum (MXU) plus gathers and a
+segment-sum scatter:
+
+    Dz      = Dz0 + einsum(panels, z[cols])              (forward)
+    grad    = scatter-add(einsum(panels, Y))              (adjoint)
+    Hessian = scatter-add(einsum(panels, Ynode, panels))  (batched A'DA)
+
+This is the TPU-native generalization of the reference's BlockAssemblyPlan +
+batched-GEMM structured path (``src/BlockMatrices.jl:281-491``): spectral
+discretizations (one big dense block, N=1) and FEM (many small blocks) flow
+through the same code, and the element axis is the natural sharding axis.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from ..utils import pytree_dataclass
+
+
+@pytree_dataclass(static=("n_nodes", "nD", "n_J", "p", "N", "C"))
+class PanelOps:
+    cols: jnp.ndarray      # (N, C) int32, sorted per element, padded by repeat
+    panels: jnp.ndarray    # (nD, N, p, C)
+    n_nodes: int
+    nD: int
+    n_J: int
+    p: int
+    N: int
+    C: int
+
+    def apply_G(self, s):
+        """(n_J,) level coefficients -> (n_nodes, nD) operator values."""
+        sg = s[self.cols]                                   # (N, C)
+        out = jnp.einsum("kNpc,Nc->Npk", self.panels, sg)
+        return out.reshape(self.N * self.p, self.nD)
+
+    def apply_Gt(self, Y):
+        """(n_nodes, nD) node values -> (n_J,) adjoint."""
+        Yr = Y.reshape(self.N, self.p, self.nD)
+        contrib = jnp.einsum("kNpc,Npk->Nc", self.panels, Yr)
+        return jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(contrib)
+
+    def assemble_dense(self, Ynode):
+        """(n_nodes, nD, nD) per-node Hessian values -> dense (n_J, n_J)."""
+        Yr = Ynode.reshape(self.N, self.p, self.nD, self.nD)
+        He = jnp.einsum("iNpc,Npij,jNpd->Ncd", self.panels, Yr, self.panels)
+        H = jnp.zeros((self.n_J, self.n_J), dtype=Ynode.dtype)
+        return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
+
+
+def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
+                    dtype) -> PanelOps:
+    """Host-side plan construction.
+
+    ``D_fine``: list of (BlockDiagHost, comp) fine operators; ``R``: the
+    level prolongation (nu*m x n_J); ``p``: broken nodes per element.
+    """
+    from ..ops.blockdiag import block_column_sparse
+
+    R = sp.csr_matrix(R)
+    n_J = R.shape[1]
+    m = R.shape[0] // nu
+    N = m // p
+    nD = len(D_fine)
+    Gs = []
+    for op, comp in D_fine:
+        Dk = block_column_sparse(op, comp, nu)
+        Gk = sp.csr_matrix(Dk @ R)
+        Gk.sort_indices()
+        Gs.append(Gk)
+
+    # per-element union of touched columns across all k
+    elems_all, cols_all = [], []
+    for Gk in Gs:
+        nnz_rows = np.repeat(np.arange(m), np.diff(Gk.indptr))
+        elems_all.append(nnz_rows // p)
+        cols_all.append(Gk.indices)
+    if elems_all:
+        ec = np.unique(np.stack([np.concatenate(elems_all),
+                                 np.concatenate(cols_all)], axis=1), axis=0)
+    else:
+        ec = np.zeros((0, 2), dtype=np.int64)
+    counts = np.bincount(ec[:, 0], minlength=N)
+    C = max(int(counts.max()) if N else 1, 1)
+    offsets = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    cols = np.zeros((N, C), dtype=np.int64)
+    for e in range(N):
+        ce = ec[offsets[e]:offsets[e + 1], 1]
+        if len(ce):
+            cols[e, :len(ce)] = ce
+            cols[e, len(ce):] = ce[-1]          # pad by repeating (stays sorted)
+    panels = np.zeros((nD, N, p, C), dtype=dtype)
+    for k, Gk in enumerate(Gs):
+        coo = Gk.tocoo()
+        e = coo.row // p
+        i = coo.row % p
+        # slot of each col within its element's sorted column list
+        slot = _vector_slots(cols, counts, e, coo.col)
+        panels[k, e, i, slot] += coo.data
+    return PanelOps(
+        cols=jnp.asarray(cols, dtype=jnp.int32),
+        panels=jnp.asarray(panels),
+        n_nodes=m, nD=nD, n_J=n_J, p=p, N=N, C=C)
+
+
+def _vector_slots(cols, counts, e, c):
+    """Vectorized per-element searchsorted via global keys."""
+    N, C = cols.shape
+    max_col = int(cols.max()) + 2 if cols.size else 2
+    # build sorted global keys of valid (e, col) pairs
+    valid_e = np.repeat(np.arange(N), counts)
+    pos_in_e = np.concatenate([np.arange(k) for k in counts]) if N else \
+        np.zeros(0, dtype=np.int64)
+    valid_c = cols[valid_e, pos_in_e]
+    keys = valid_e * max_col + valid_c
+    q = e * max_col + c
+    idx = np.searchsorted(keys, q)
+    return pos_in_e[idx]

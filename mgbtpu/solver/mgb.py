@@ -1,0 +1,628 @@
+"""The multigrid barrier method: V-cycle step, t-ramp, phase I, driver.
+
+Host-side orchestration (the outer loops are O(log)-count, data-light, and
+inherently dynamic) around jit-compiled per-level Newton solves: the same
+split the reference has between cheap outer logic and hot inner evaluations.
+Algorithmic parity with reference ``src/mgb.jl`` (mgb_step :16-82, mgb_core
+:91-183, phase I machinery :185-572, driver :332-584, assemble :711-727,
+mgb_solve :798-843). Exceptions from the reference's broad-catch protocol
+become status codes threaded out of the jits.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .._config import default_dtype, eps as dtype_eps
+from ..convex.convex import Convex, validate_convex_inputs
+from ..hierarchy.multigrid import AMGSystem, prepare_amg
+from ..utils.errors import MGBConvergenceFailure
+from ..utils.log import Log, Logger
+from .barrier import make_level_fns
+from .levelops import build_panel_ops
+from .newton import (CONVERGED, make_newton, stopping_exact, stopping_inexact,
+                     linesearch_backtracking)
+
+
+# ---------------------------------------------------------------------------
+# Defaults (reference src/mgb.jl:586-613)
+# ---------------------------------------------------------------------------
+
+def default_f(dim):
+    def f(x):
+        out = np.zeros(dim + 2)
+        out[0] = 0.5
+        out[-1] = 1.0
+        return out
+    return f
+
+
+def default_g(dim):
+    if dim == 1:
+        return lambda x: np.array([x[0], 2.0])
+    return lambda x: np.array([float(np.sum(np.asarray(x[:dim]) ** 2)), 100.0])
+
+
+def default_D(dim):
+    ops = ["dx", "dy", "dz"][:dim]
+    return [("u", "id")] + [("u", o) for o in ops] + [("s", "id")]
+
+
+def default_idx(dim):
+    return tuple(range(1, dim + 2))
+
+
+def barrier_weights(w: np.ndarray, barrier_nodes):
+    """Resolve the barrier-node selection to per-node weights (mean over the
+    selection). Reference ``_barrier_weights`` (``src/convex.jl:279-304``)."""
+    n = len(w)
+    if barrier_nodes is None:
+        sel = (w != 0).astype(w.dtype)
+    elif barrier_nodes is Ellipsis or (isinstance(barrier_nodes, str)
+                                       and barrier_nodes == "all"):
+        sel = np.ones(n, dtype=w.dtype)
+    else:
+        bn = np.asarray(barrier_nodes)
+        if bn.dtype == bool:
+            if len(bn) != n:
+                raise ValueError("barrier_nodes mask length mismatch")
+            sel = bn.astype(w.dtype)
+        else:
+            sel = np.zeros(n, dtype=w.dtype)
+            sel[bn.astype(np.int64)] = 1
+    m = sel.sum()
+    if m == 0:
+        raise ValueError("barrier_nodes selects no nodes")
+    return sel / m
+
+
+def flat_weights(w):
+    return np.full(len(w), 1.0 / len(w), dtype=w.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Per-problem kernels: panel plans + jitted newtons, cached per AMGSystem
+# ---------------------------------------------------------------------------
+
+class ProblemKernels:
+    """Lazy per-level jitted solvers for one (AMGSystem, barrier-triple)."""
+
+    def __init__(self, M: AMGSystem, Fs, line_search, dtype):
+        self.M = M
+        self.Fs = Fs
+        self.line_search = line_search
+        self.dtype = dtype
+        self.p = M.geometry.x.shape[0]
+        self._ops = {}
+        self._newton = {}
+        self._fns = {}
+        F0 = Fs[0]
+        self._node_f0 = jax.jit(lambda args, Dz: jax.vmap(F0)(*args, Dz))
+
+    def ops(self, l):
+        if l not in self._ops:
+            self._ops[l] = build_panel_ops(self.M.D_fine, self.M.nu,
+                                           self.M.R_fine[l], self.p, self.dtype)
+        return self._ops[l]
+
+    def fns(self, l):
+        if l not in self._fns:
+            self._fns[l] = make_level_fns(self.Fs, self.ops(l))
+        return self._fns[l]
+
+    def newton(self, l):
+        if l not in self._newton:
+            f0, f1, f2 = self.fns(l)
+            self._newton[l] = make_newton(f0, f1, f2,
+                                          line_search=self.line_search)
+        return self._newton[l]
+
+    def run_newton(self, l, z, wc, bw, args, *, maxit, stopping):
+        """Newton in the level-l search space from s0 = 0."""
+        Dz0 = self.M.apply_D_full(z).astype(self.dtype)
+        kind, theta, lambda_tol = stopping
+        x0 = jnp.zeros((self.ops(l).n_J,), dtype=self.dtype)
+        fargs = (jnp.asarray(Dz0), jnp.asarray(wc.astype(self.dtype)),
+                 jnp.asarray(bw.astype(self.dtype))) + tuple(args)
+        x, y, k, status = self.newton(l)(
+            x0, fargs, jnp.asarray(maxit, jnp.int32),
+            jnp.asarray(lambda_tol if kind == "inexact" else -1.0, self.dtype),
+            jnp.asarray(theta, self.dtype))
+        return (np.asarray(x), float(y), int(k), int(status))
+
+    def node_f0(self, args, Dz):
+        return np.asarray(self._node_f0(tuple(args), jnp.asarray(Dz)))
+
+    def level_grad_hess(self, l, z, wc, bw, args):
+        """f1 and dense f2 at s=0 on level l (used by _matched_t)."""
+        Dz0 = jnp.asarray(self.M.apply_D_full(z).astype(self.dtype))
+        _, f1, f2 = self.fns(l)
+        s0 = jnp.zeros((self.ops(l).n_J,), dtype=self.dtype)
+        fa = (Dz0, jnp.asarray(wc.astype(self.dtype)),
+              jnp.asarray(bw.astype(self.dtype))) + tuple(args)
+        return np.asarray(f1(s0, *fa)), np.asarray(f2(s0, *fa))
+
+
+def _kernels_for(M: AMGSystem, Fs, line_search, dtype) -> ProblemKernels:
+    cache = getattr(M, "_kernel_cache", None)
+    if cache is None:
+        cache = {}
+        M._kernel_cache = cache
+    key = (tuple(map(id, Fs)), line_search, np.dtype(dtype).name)
+    if key not in cache:
+        cache[key] = ProblemKernels(M, Fs, line_search, dtype)
+    return cache[key]
+
+
+# ---------------------------------------------------------------------------
+# mgb_step: one centering across the hierarchy (divide & conquer)
+# ---------------------------------------------------------------------------
+
+def divide_and_conquer(eta, j, J):
+    """Try the coarse->level-J jump; on failure bisect the level interval.
+    Reference ``src/mgb.jl:10-15``."""
+    if eta(j, J):
+        return True
+    jmid = (j + J) // 2
+    if jmid == j or jmid == J:
+        return False
+    return divide_and_conquer(eta, j, jmid) and divide_and_conquer(eta, jmid, J)
+
+
+def mgb_step(kern: ProblemKernels, z, wc, bw, args, *, maxit, max_newton,
+             stopping, finalize, log, initial_step=False):
+    """One centering at fixed t over the hierarchy; returns (z, its, conv).
+
+    Never early-stops mid-V-cycle: the iterate handed back must be centered
+    at its t (reference ``src/mgb.jl:36-46``). Multi-level jumps are capped
+    at ``max_newton`` so failures trigger bisection; initial single-level
+    steps run to the global ``maxit`` (``src/mgb.jl:64-72``).
+    """
+    M = kern.M
+    L = M.depth
+    its = np.zeros(L, dtype=np.int64)
+    state = {"z": z}
+
+    def eta(j, J, stop, mi):
+        log("mgb_step", f"j={j} J={J}")
+        x, y, k, status = kern.run_newton(J - 1, state["z"], wc, bw, args,
+                                          maxit=mi, stopping=stop)
+        its[J - 1] += k
+        conv = status == CONVERGED
+        if conv:
+            state["z"] = state["z"] + M.R_fine[J - 1] @ x
+        else:
+            log("mgb_step", f"level {J} newton status={status} k={k}")
+        return conv
+
+    def mn(j, J):
+        return maxit if (initial_step and J - j == 1) else max_newton
+
+    converged = divide_and_conquer(
+        lambda j, J: eta(j, J, stopping, mn(j, J)), 0, L)
+    z_unfinalized = state["z"]
+    if finalize is not None:
+        log("mgb_step", "finalize")
+        ok = eta(L - 1, L, finalize, maxit)
+        converged = converged and ok
+    log("mgb_step", f"converged={converged}")
+    return state["z"], z_unfinalized, its, converged
+
+
+# ---------------------------------------------------------------------------
+# mgb_core: the t-ramp (path following with kappa adaptation)
+# ---------------------------------------------------------------------------
+
+def _early(f, z, t):
+    try:
+        return f(z, t)
+    except TypeError:
+        return f(z)
+
+
+def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
+             kappa=10.0, early_stop=None, progress=None, max_newton=None,
+             stopping, finalize, log):
+    """Path following from t to 1/tol; adaptive kappa (t-step factor).
+
+    Success with few Newton its -> kappa = min(kappa0, kappa^2); failure ->
+    kappa = sqrt(kappa); kappa <= 1 -> stall. Reference ``src/mgb.jl:91-183``.
+    """
+    t_begin = time.time()
+    dtype = kern.dtype
+    epsT = dtype_eps(dtype)
+    if max_newton is None:
+        max_newton = int(np.ceil(np.log2(-np.log2(epsT)))) + 2
+    if early_stop is None:
+        early_stop = lambda z_: False
+    if progress is None:
+        progress = lambda x: None
+    tinit = t
+    target = 1.0 / tol
+    kappa0 = kappa
+    L = kern.M.depth
+    its_hist, ts_hist, kappa_hist, time_hist, cdz_hist = [], [], [], [], []
+
+    def wc_at(tv):
+        return w[:, None] * (tv * c)
+
+    def record(tv, kv, its):
+        its_hist.append(its)
+        ts_hist.append(tv)
+        kappa_hist.append(kv)
+        time_hist.append(time.time())
+        Dz = kern.M.apply_D_full(z)
+        cdz_hist.append(float(np.sum(w[:, None] * c * Dz)))
+
+    initial_finalize = finalize if t >= target else None
+    z, z_unf, its, conv = mgb_step(kern, z, wc_at(t), bw, args, maxit=maxit,
+                                   max_newton=max_newton, stopping=stopping,
+                                   finalize=initial_finalize, log=log,
+                                   initial_step=True)
+    log("mgb_core", "initial centering done")
+    if not conv:
+        raise MGBConvergenceFailure(
+            f"Initial centering failed at t={t}, tol={tol}, maxit={maxit}.",
+            "stall")
+    record(t, kappa, its)
+    k = 1
+    while t < target and kappa > 1 and k < maxit and not _early(early_stop, z, t):
+        k += 1
+        prog = float(np.clip(np.log(t / tinit) / np.log(target / tinit), 0, 1)) \
+            if tinit < target else 1.0
+        progress(prog)
+        its_acc = np.zeros(L, dtype=np.int64)
+        while kappa > 1:
+            t1 = kappa * t
+            log("mgb_core", f"k={k} t={t} kappa={kappa} t1={t1}")
+            fin = finalize if t1 >= target else None
+            z_try, z_unf_try, its, conv = mgb_step(
+                kern, z, wc_at(t1), bw, args, maxit=maxit,
+                max_newton=max_newton, stopping=stopping, finalize=fin, log=log)
+            its_acc += its
+            if conv:
+                if its.max() <= max_newton * 0.5:
+                    log("mgb_core", "increasing t step size")
+                    kappa = min(kappa0, kappa ** 2)
+                z, z_unf = z_try, z_unf_try
+                t = t1
+                break
+            log("mgb_core", "t refinement failed, shrinking kappa")
+            kappa = np.sqrt(kappa)
+        record(t, kappa, its_acc)
+    converged = (t >= target) or _early(early_stop, z, t)
+    if not converged:
+        code = "stall" if kappa <= 1 else "iteration_limit"
+        raise MGBConvergenceFailure(
+            f"Convergence failure at t={t}, k={k}, kappa={kappa}, tol={tol}, "
+            f"maxit={maxit}.", code)
+    progress(1.0)
+    log("mgb_core", f"success. t={t} tol={tol}")
+    t_end = time.time()
+    return dict(z=z, z_unfinalized=z_unf, c=c,
+                its=np.stack(its_hist, axis=1), ts=np.array(ts_hist),
+                kappas=np.array(kappa_hist), t_begin=t_begin, t_end=t_end,
+                t_elapsed=t_end - t_begin, times=np.array(time_hist),
+                c_dot_Dz=np.array(cdz_hist))
+
+
+# ---------------------------------------------------------------------------
+# Phase I: feasibility barrier with bounding box
+# ---------------------------------------------------------------------------
+
+def make_feasibility_fs(cobarrier, NC: int):
+    """Wrap a cobarrier triple with the phase-I box barriers.
+
+    Per node, with yy = (D rows..., slack u, component values v_i...) and box
+    scalars (b, R) threaded as trailing per-node args:
+
+        F0 = cobarrier(yy[:NC]) - log(b-u) - log(b+u)
+             - sum_i [log(R-v_i) + log(R+v_i)]
+
+    The factored log(R-v)+log(R+v) form avoids the catastrophic cancellation
+    of log(R^2-v^2) near the walls (reference ``src/mgb.jl:190-287``).
+    """
+    C0, C1, C2 = cobarrier
+
+    def F0(*aa):
+        y = aa[-1]
+        b, R = aa[-3], aa[-2]
+        args = aa[:-3]
+        yc = y[:NC]
+        u = yc[NC - 1]
+        v = y[NC:]
+        return (C0(*args, yc) - Log(b - u) - Log(b + u)
+                + (-Log(R - v) - Log(R + v)).sum())
+
+    def F1(*aa):
+        y = aa[-1]
+        b, R = aa[-3], aa[-2]
+        args = aa[:-3]
+        yc = y[:NC]
+        u = yc[NC - 1]
+        v = y[NC:]
+        gc = C1(*args, yc)
+        gs = 1.0 / (b - u) - 1.0 / (b + u)
+        gv = 1.0 / (R - v) - 1.0 / (R + v)
+        return jnp.concatenate([gc[:NC - 1], (gc[NC - 1] + gs)[None], gv])
+
+    def F2(*aa):
+        y = aa[-1]
+        b, R = aa[-3], aa[-2]
+        args = aa[:-3]
+        yc = y[:NC]
+        u = yc[NC - 1]
+        v = y[NC:]
+        Hc = C2(*args, yc)
+        hs = 1.0 / (b - u) ** 2 + 1.0 / (b + u) ** 2
+        hv = 1.0 / (R - v) ** 2 + 1.0 / (R + v) ** 2
+        NF = y.shape[0]
+        H = jnp.zeros((NF, NF), dtype=y.dtype)
+        H = H.at[:NC, :NC].set(Hc)
+        H = H.at[NC - 1, NC - 1].add(hs)
+        H = H.at[jnp.arange(NC, NF), jnp.arange(NC, NF)].add(hv)
+        return H
+
+    return (F0, F1, F2)
+
+
+def _matched_t(kern: ProblemKernels, z, c, t_default, args, *, w, bw, log):
+    """Barrier parameter whose central point z best approximates, capped at
+    t_default: minimize the quadratic lambda_t^2 = (g_phi + t g_c)' H^-1
+    (g_phi + t g_c) — two Hessian solves. Reference ``src/mgb.jl:289-330``."""
+    L = kern.M.depth
+    zero_wc = np.zeros((len(w), c.shape[1]), dtype=w.dtype)
+    g_phi, H = kern.level_grad_hess(L - 1, z, zero_wc, bw, args)
+    g_all, _ = kern.level_grad_hess(L - 1, z, w[:, None] * c, bw, args)
+    g_c = g_all - g_phi
+    try:
+        n_phi = np.linalg.solve(H, g_phi)
+        n_c = np.linalg.solve(H, g_c)
+    except np.linalg.LinAlgError:
+        return t_default
+    d = float(g_c @ n_c)
+    b = float(g_phi @ n_c + g_c @ n_phi)
+    if not (d > 0):
+        return t_default
+    tstar = -b / (2 * d)
+    if not (np.isfinite(tstar) and tstar > 0):
+        return t_default
+    tm = float(np.clip(tstar, np.sqrt(dtype_eps(kern.dtype)), t_default))
+    log("_matched_t", f"warm start matches t={tstar}, starting main ramp at t={tm}")
+    return tm
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def mgb_driver(Mpair, f_grid, g_grid, Q: Convex, *, tol=None, t=0.1,
+               t_feasibility=None, feasibility_Rmax=None, maxit=10000,
+               kappa=10.0, early_stop=None, max_newton=None,
+               stopping_criterion=None, line_search=None, finalize="default",
+               barrier_nodes=None, progress=None, log=None, dtype=None):
+    M1, M2 = Mpair
+    dtype = dtype or np.asarray(f_grid).dtype
+    epsT = dtype_eps(dtype)
+    tol = tol if tol is not None else float(np.sqrt(epsT))
+    t_feasibility = t_feasibility if t_feasibility is not None else t
+    feasibility_Rmax = feasibility_Rmax if feasibility_Rmax is not None \
+        else 1.0 / np.sqrt(epsT)
+    if progress is None:
+        progress = lambda x: None
+    if log is None:
+        log = lambda *a: None
+    if stopping_criterion is None:
+        # flat-averaged barrier has self-concordance constant sqrt(n):
+        # lambda < eta/sqrt(n) with eta = 1/4 (reference src/mgb.jl:348-360)
+        stopping_criterion = stopping_inexact(0.25 / np.sqrt(len(M1.w)), 0.9)
+    if line_search is None:
+        line_search = linesearch_backtracking()
+    if finalize == "default":
+        finalize = stopping_exact(0.9)
+    elif finalize is False:
+        finalize = None
+
+    w = M1.w.astype(dtype)
+    bw_main = barrier_weights(w, barrier_nodes)
+    bw_flat = flat_weights(w)
+    m = M1.n_nodes
+    nD = len(M1.D_fine)
+    nu = M1.nu
+    c0 = np.asarray(f_grid, dtype=dtype)
+    z0 = np.asarray(g_grid, dtype=dtype)
+    if z0.shape != (m, nu):
+        raise ValueError(f"g grid must be ({m}, {nu}), got {z0.shape}")
+    if c0.shape != (m, nD):
+        raise ValueError(f"f grid must be ({m}, {nD}), got {c0.shape}")
+    z2 = z0.T.reshape(-1).copy()            # stacked (nu*m,), component-major
+
+    kern1 = _kernels_for(M1, Q.barrier, line_search, dtype)
+    kern1.Q_args = tuple(Q.args)
+
+    SOL_feasibility = None
+    pbarfeas = 0.0
+    Dz = M1.apply_D_full(z2)
+    vals = kern1.node_f0(Q.args, Dz.astype(dtype))
+    if not np.all(np.isfinite(vals)):
+        pbarfeas = 0.1
+        log("mgb_driver", "initial point infeasible: entering phase I")
+        slack_vals = np.asarray(jax.vmap(Q.slack)(*Q.args,
+                                                  jnp.asarray(Dz.astype(dtype))))
+        u0 = 2 * np.maximum(slack_vals, 1.0)
+        b = float(2 * max(1.0, u0.max()))
+        nD2 = nD + 1 + nu
+        c1 = np.zeros((m, nD2), dtype=dtype)
+        c1[:, nD] = 1.0
+        z1 = np.concatenate([z2, u0.astype(dtype)])
+        feas_fs = make_feasibility_fs(Q.cobarrier, nD + 1)
+        kern2 = _kernels_for(M2, feas_fs, line_search, dtype)
+        Rbox = max(10.0, 10.0 * float(np.abs(z2).max()))
+        Rmax = max(float(feasibility_Rmax), Rbox)
+
+        def feasible(zz):
+            return float(zz[nu * m:(nu + 1) * m].max()) < 0
+
+        while True:
+            log("mgb_driver", f"feasibility phase with bounding box R={Rbox}")
+            args_feas = tuple(Q.args) + (
+                jnp.full((m,), b, dtype=dtype), jnp.full((m,), Rbox, dtype=dtype))
+            t_first = [np.inf]
+
+            def feas_stop(zz, tv):
+                if not feasible(zz):
+                    return False
+                t_first[0] = min(t_first[0], tv)
+                return tv >= 2 * t_first[0]
+
+            failure = None
+            try:
+                SOL_feasibility = mgb_core(
+                    kern2, z1, c1, args_feas, w=w, bw=bw_flat, tol=tol,
+                    t=t_feasibility, maxit=maxit, kappa=kappa,
+                    early_stop=feas_stop,
+                    progress=lambda x: progress(pbarfeas * x),
+                    max_newton=max_newton, stopping=stopping_criterion,
+                    finalize=finalize, log=log)
+            except MGBConvergenceFailure as e:
+                failure = e
+            except FloatingPointError as e:  # pragma: no cover
+                failure = e
+            if failure is None:
+                zf = SOL_feasibility["z"]
+                if feasible(zf):
+                    break
+                vmax = max(float(np.abs(zf[k2 * m:(k2 + 1) * m]).max())
+                           for k2 in range(nu))
+                smax = float(zf[nu * m:(nu + 1) * m].max())
+                if vmax <= Rbox / 2:
+                    raise MGBConvergenceFailure(
+                        "The problem appears to be infeasible: the phase-I "
+                        f"minimizer has positive violation (max slack ~ {smax}) "
+                        f"strictly inside the bounding box (max nodal value "
+                        f"~ {vmax} <= R/2 with R = {Rbox}).", "infeasible")
+                log("mgb_driver",
+                    f"phase-I minimizer presses the box (|v|max={vmax}, "
+                    f"smax={smax}); growing R")
+            else:
+                log("mgb_driver", f"feasibility solve failed at R={Rbox}: {failure}")
+            Rnext = 10 * Rbox
+            if Rnext > Rmax:
+                reason = ("the phase-I minimizer still presses the bounding box"
+                          if failure is None else f"the last attempt failed: {failure}")
+                raise MGBConvergenceFailure(
+                    f"Could not find a strictly feasible point with nodal "
+                    f"values bounded by R = {Rbox} (cap ~ {Rmax}); {reason}. "
+                    "The problem is infeasible, or its feasible points exceed "
+                    "the cap (rescale, or raise feasibility_Rmax).",
+                    "feasibility_Rmax")
+            Rbox = Rnext
+            # no warm start across box rounds: restart from the pristine z1
+        z2 = SOL_feasibility["z"][:nu * m].copy()
+        t = min(t, _matched_t(kern1, z2, c0, t, tuple(Q.args),
+                              w=w, bw=bw_main, log=log))
+
+    SOL_main = mgb_core(kern1, z2, c0, tuple(Q.args), w=w, bw=bw_main, tol=tol,
+                        t=t, maxit=maxit, kappa=kappa, early_stop=early_stop,
+                        progress=lambda x: progress((1 - pbarfeas) * x + pbarfeas),
+                        max_newton=max_newton, stopping=stopping_criterion,
+                        finalize=finalize, log=log)
+    z = SOL_main["z"].reshape(nu, m).T
+    return dict(z=z, SOL_feasibility=SOL_feasibility, SOL_main=SOL_main)
+
+
+# ---------------------------------------------------------------------------
+# assemble / mgb_solve / solution containers
+# ---------------------------------------------------------------------------
+
+class MGBProblem:
+    """Assembled, closure-free convex problem: pure data + per-node barrier
+    functions; the device sees only arrays. Reference ``MGBProblem``
+    (``src/mgb.jl:649-674``)."""
+
+    def __init__(self, M, f_grid, g_grid, Q, geometry):
+        self.M = M
+        self.f_grid = f_grid
+        self.g_grid = g_grid
+        self.Q = Q
+        self.geometry = geometry
+
+
+class MGBSOL:
+    """Solution: z (n_nodes, n_components), phase diagnostics, log, geometry."""
+
+    def __init__(self, z, SOL_feasibility, SOL_main, log, geometry):
+        self.z = z
+        self.SOL_feasibility = SOL_feasibility
+        self.SOL_main = SOL_main
+        self.log = log
+        self.geometry = geometry
+
+
+def assemble(mg, *, dim=None, state_variables=None, D=None, x=None, p=1.0,
+             f=None, g=None, f_grid=None, g_grid=None, Q=None, M=None,
+             dtype=None, **solver_kwargs):
+    """Lower a problem specification to a closure-free MGBProblem.
+
+    Reference ``assemble`` (``src/mgb.jl:676-727``): f/g closures are sampled
+    to grids, the constraint defaults to the p-Laplace power cone, and the
+    (main, feasibility) AMG pair is built from the state table.
+    """
+    from ..convex import convex_euclidian_power
+    from ..utils.maps import sample_rows
+
+    geom = mg.geometry
+    dtype = dtype or geom.dtype
+    if dim is None:
+        dim = geom.discretization.dim
+    if state_variables is None:
+        state_variables = [("u", "dirichlet"),
+                           ("s", geom.discretization.default_slack_space())]
+    if D is None:
+        D = default_D(dim)
+    if x is None:
+        x = geom.xflat()
+    if M is None:
+        M = prepare_amg(mg, state_variables=state_variables, D=D)
+    nD = len(D)
+    nu = len(state_variables)
+    if f_grid is None:
+        f_grid = sample_rows(f or default_f(dim), x, dtype, width=nD)
+    if g_grid is None:
+        g_grid = sample_rows(g or default_g(dim), x, dtype, width=nu)
+    if Q is None:
+        Q = convex_euclidian_power(mg, idx=default_idx(dim),
+                                   p=float(p), dtype=dtype)
+    validate_convex_inputs(Q, nD)
+    return MGBProblem(M, np.asarray(f_grid, dtype=dtype),
+                      np.asarray(g_grid, dtype=dtype), Q, geom)
+
+
+def mgb_solve(prob: MGBProblem, *, verbose=False, logfile=None,
+              **kwargs) -> MGBSOL:
+    """Solve an assembled problem; returns an MGBSOL (host arrays).
+
+    Keyword arguments mirror the reference's solver controls: tol, t,
+    t_feasibility, feasibility_Rmax, maxit, kappa, early_stop, max_newton,
+    stopping_criterion, line_search, finalize, barrier_nodes, progress.
+    """
+    logger = Logger(stream=logfile)
+    progress = kwargs.pop("progress", None)
+    if verbose and progress is None:
+        state = {"last": -1}
+
+        def progress(x):  # pragma: no cover - cosmetic
+            pct = int(x * 100)
+            if pct > state["last"]:
+                state["last"] = pct
+                print(f"\rmgb_solve: {pct:3d}%", end="", flush=True)
+    logger("mgb_solve", "device = ", jax.default_backend())
+    SOL = mgb_driver(prob.M, prob.f_grid, prob.g_grid, prob.Q,
+                     progress=progress, log=logger, **kwargs)
+    if verbose and progress is not None:
+        print()
+    return MGBSOL(SOL["z"], SOL["SOL_feasibility"], SOL["SOL_main"],
+                  logger.text(), prob.geometry)

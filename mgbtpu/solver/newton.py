@@ -1,0 +1,221 @@
+"""Damped Newton with line search and stopping criteria, as a single jit.
+
+The whole inner solve — Hessian assembly, dense symmetric solve, line
+search, stopping tests — runs on-device inside ``lax.while_loop``s with a
+status flag threaded through the carry (under jit there are no exceptions;
+the barrier's Log->-inf convention turns every domain escape into a
+non-finite value that the checks below reject, exactly the design the
+reference chose for its GPU kernels). Algorithmic parity with reference
+``src/newton.jl`` (newton at :227-287, backtracking at :139-154, Illinois at
+:84-103, stopping at :187-225).
+
+Status codes: 0 running, 1 converged, 2 not converged (maxit / line-search
+exhaustion), 3 non-finite initial value, 4 Hessian-solve failure at a
+non-optimal point (lambda^2 <= 0 with large gradient), 5 non-finite Newton
+direction.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+RUNNING, CONVERGED, DIVERGED, BAD_INIT, BAD_HESSIAN, BAD_DIRECTION = range(6)
+
+_MAX_LS_TRIALS = 120  # s = beta^k underflows long before this for any dtype
+
+
+def stopping_exact(theta):
+    """Stop when the objective AND the gradient norm both stagnate."""
+    return ("exact", float(theta), -1.0)
+
+
+def stopping_inexact(lambda_tol, theta):
+    """Stop when the Newton decrement drops below lambda_tol, or exact."""
+    return ("inexact", float(theta), float(lambda_tol))
+
+
+def linesearch_backtracking(beta=0.5, c1=0.1):
+    return ("backtracking", float(beta), float(c1))
+
+
+def linesearch_illinois(beta=0.5):
+    return ("illinois", float(beta), 0.0)
+
+
+def _backtracking(f0, f1, fargs, x, y, g, n_dir, inc, beta, c1):
+    """Armijo backtracking; returns the last finite trial if the sufficient-
+    decrease test never passes before s underflows (the reference's
+    _linesearch_loop contract)."""
+
+    def eval_trial(s):
+        xn = x - s * n_dir
+        yn = f0(xn, *fargs)
+        gn = f1(xn, *fargs)
+        ok = jnp.isfinite(yn) & jnp.all(jnp.isfinite(gn))
+        stalled = jnp.linalg.norm(xn - x) == 0
+        accept = ok & (stalled | (yn <= y - c1 * inc * s))
+        return xn, yn, gn, ok, accept
+
+    def cond(carry):
+        s, _, _, _, accepted, any_ok, trials = carry
+        return (~accepted) & (s > 0) & (trials < _MAX_LS_TRIALS)
+
+    def body(carry):
+        s, xb, yb, gb, _, any_ok, trials = carry
+        xn, yn, gn, ok, accept = eval_trial(s)
+        xb = jnp.where(ok, xn, xb)
+        yb = jnp.where(ok, yn, yb)
+        gb = jnp.where(ok, gn, gb)
+        return (jnp.where(accept, s, s * beta), xb, yb, gb, accept,
+                any_ok | ok, trials + 1)
+
+    s0 = jnp.asarray(1.0, dtype=y.dtype)
+    init = (s0, x, y, g, jnp.asarray(False), jnp.asarray(False),
+            jnp.asarray(0, dtype=jnp.int32))
+    _, xb, yb, gb, accepted, any_ok, _ = lax.while_loop(cond, body, init)
+    return xb, yb, gb
+
+
+def _illinois_root(phi, a, b, fa, fb, maxit=128):
+    """Illinois variant of regula falsi for phi on [a, b] (device-safe)."""
+
+    def cond(c):
+        a, b, fa, fb, k, done = c
+        return (~done) & (k < maxit)
+
+    def body(c):
+        a, b, fa, fb, k, done = c
+        denom = jnp.where(fb - fa == 0, 1.0, fb - fa)
+        x = (a * fb - b * fa) / denom
+        fx = phi(x)
+        out_of_bracket = (x <= jnp.minimum(a, b)) | (x >= jnp.maximum(a, b)) \
+            | ~jnp.isfinite(fx)
+        done2 = out_of_bracket | (fx * fa == 0) | (fx * fb == 0)
+        opposite = fb * fx < 0
+        a2 = jnp.where(opposite, b, a)
+        fa2 = jnp.where(opposite, fb, fa / 2)
+        return (a2, x, fa2, fx, k + 1, done2)
+
+    a, b, fa, fb, _, _ = lax.while_loop(
+        cond, body, (a, b, fa, fb, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(False)))
+    return b
+
+
+def _illinois_ls(f0, f1, fargs, x, y, g, n_dir, inc, beta):
+    """Exact line search: root of phi(s) = <grad f(x - s n), n>; falls back
+    to shrinking s when the trial is rejected (non-finite)."""
+
+    def phi(s):
+        xn = x - s * n_dir
+        yn = f0(xn, *fargs)
+        gn = f1(xn, *fargs)
+        return jnp.where(jnp.isfinite(yn), gn @ n_dir, jnp.nan)
+
+    def attempt(s):
+        fb = phi(s)
+        usable = jnp.isfinite(fb)
+        s_root = jnp.where(
+            usable,
+            jnp.where(inc * fb >= 0, s,
+                      _illinois_root(phi, jnp.zeros_like(s), s, inc, fb)),
+            s)
+        xn = x - s_root * n_dir
+        yn = f0(xn, *fargs)
+        gn = f1(xn, *fargs)
+        ok = usable & jnp.isfinite(yn) & jnp.all(jnp.isfinite(gn))
+        return xn, yn, gn, ok
+
+    def cond(carry):
+        s, _, _, _, accepted, trials = carry
+        return (~accepted) & (s > 0) & (trials < _MAX_LS_TRIALS)
+
+    def body(carry):
+        s, xb, yb, gb, _, trials = carry
+        xn, yn, gn, ok = attempt(s)
+        xb = jnp.where(ok, xn, xb)
+        yb = jnp.where(ok, yn, yb)
+        gb = jnp.where(ok, gn, gb)
+        return (jnp.where(ok, s, s * beta), xb, yb, gb, ok, trials + 1)
+
+    init = (jnp.asarray(1.0, dtype=y.dtype), x, y, g, jnp.asarray(False),
+            jnp.asarray(0, jnp.int32))
+    _, xb, yb, gb, _, _ = lax.while_loop(cond, body, init)
+    return xb, yb, gb
+
+
+def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
+                solve=None):
+    """Build the jitted Newton runner.
+
+    Returned fn signature:
+    ``newton(x0, fargs, maxit, lambda_tol, theta) -> (x, y, k, status)``
+    where ``fargs`` are the extra arguments threaded to f0/f1/f2
+    (Dz0, wc, bw, ...), ``lambda_tol < 0`` selects the exact criterion.
+    """
+    ls_kind, ls_beta, ls_c1 = line_search
+    if solve is None:
+        def solve(H, g):
+            return jnp.linalg.solve(H, g)
+
+    @jax.jit
+    def newton(x0, fargs, maxit, lambda_tol, theta):
+        dtype = x0.dtype
+        epsT = jnp.finfo(dtype).eps
+        y0 = f0(x0, *fargs)
+        g0 = f1(x0, *fargs)
+        ok0 = jnp.isfinite(y0) & jnp.all(jnp.isfinite(g0))
+
+        def cond(carry):
+            x, y, g, ymin, gmin, incmin, k, status = carry
+            return (status == RUNNING) & (k < maxit)
+
+        def body(carry):
+            x, y, g, ymin, gmin, incmin, k, status = carry
+            H = f2(x, *fargs)
+            n_dir = solve(H, g)
+            dir_ok = jnp.all(jnp.isfinite(n_dir))
+            inc = g @ n_dir
+            # lambda^2 <= 0: converged only at the objective roundoff floor,
+            # else the Hessian solve failed (iterate pinned to the wall) and
+            # the caller must bisect / shrink kappa (reference newton.jl:256-270)
+            at_floor = jnp.abs(inc) <= epsT * jnp.maximum(jnp.abs(y), 1.0)
+            bad_inc = inc <= 0
+
+            if ls_kind == "illinois":
+                xn, yn, gn = _illinois_ls(f0, f1, fargs, x, y, g, n_dir, inc,
+                                          ls_beta)
+            else:
+                xn, yn, gn = _backtracking(f0, f1, fargs, x, y, g, n_dir, inc,
+                                           ls_beta, ls_c1)
+            sqrt_inc = jnp.sqrt(jnp.maximum(inc, 0.0))
+            stop_inexact = (lambda_tol >= 0) & (sqrt_inc < lambda_tol)
+            stop_exact = (yn >= ymin) & (jnp.linalg.norm(gn) >= theta * gmin)
+            stopped = stop_inexact | stop_exact
+
+            status = jnp.where(
+                ~dir_ok, BAD_DIRECTION,
+                jnp.where(bad_inc,
+                          jnp.where(at_floor, CONVERGED, BAD_HESSIAN),
+                          jnp.where(stopped, CONVERGED, RUNNING))
+            ).astype(jnp.int32)
+            take = dir_ok & ~bad_inc
+            x2 = jnp.where(take, xn, x)
+            y2 = jnp.where(take, yn, y)
+            g2 = jnp.where(take, gn, g)
+            return (x2, y2, g2,
+                    jnp.minimum(ymin, y2), jnp.minimum(gmin, jnp.linalg.norm(g2)),
+                    jnp.minimum(incmin, jnp.where(take, inc, incmin)),
+                    k + 1, status)
+
+        init = (x0, y0, g0, y0, jnp.linalg.norm(g0),
+                jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32),
+                jnp.where(ok0, RUNNING, BAD_INIT).astype(jnp.int32))
+        x, y, g, ymin, gmin, incmin, k, status = lax.while_loop(cond, body, init)
+        status = jnp.where(status == RUNNING, DIVERGED, status)
+        return x, y, k, status
+
+    return newton
