@@ -1,0 +1,70 @@
+"""Benchmark: fem2d_P2 p=1 p-Laplacian solve wall time (the reference's
+headline workload, bench.md). Prints ONE JSON line.
+
+Baseline: reference CUDA extension (A40, structured batched-GEMM path)
+solve times from bench.md: L=4: 0.664 s, L=5: 1.039 s, L=6: 1.851 s,
+L=7: 5.122 s. vs_baseline = baseline_seconds / our_seconds (>1 = faster).
+
+On TPU (no f64) the solve runs in float32 with the Float32-reference
+semantics tol = sqrt(eps(f32)); on CPU it runs in float64 at the reference
+tolerance.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("MGBTPU_NO_X64", "1")
+
+import numpy as np
+
+
+BASELINE_GPU = {4: 0.664, 5: 1.039, 6: 1.851, 7: 5.122}
+
+
+def run(L: int, dtype):
+    from mgbtpu import amg, assemble, fem2d_P2, mgb_solve, subdivide
+
+    t0 = time.time()
+    geom = subdivide(fem2d_P2(dtype=dtype), L)
+    mg = amg(geom)
+    setup_s = time.time() - t0
+
+    def solve():
+        prob = assemble(mg, p=1.0, dtype=dtype)
+        t1 = time.time()
+        sol = mgb_solve(prob)
+        return time.time() - t1, sol
+
+    warm_s, sol = solve()          # includes jit compiles
+    solve_s, sol = solve()         # warm caches
+    n_dofs = sol.z.size
+    return dict(setup_s=setup_s, warm_s=warm_s, solve_s=solve_s,
+                n_dofs=n_dofs, finite=bool(np.all(np.isfinite(sol.z))))
+
+
+def main():
+    import jax
+
+    L = int(os.environ.get("MGB_BENCH_L", "5"))
+    backend = jax.default_backend()
+    dtype = np.float64 if backend == "cpu" and not os.environ.get(
+        "MGBTPU_NO_X64") else np.float32
+    r = run(L, dtype)
+    base = BASELINE_GPU.get(L)
+    vs = (base / r["solve_s"]) if base else None
+    print(json.dumps({
+        "metric": f"fem2d_P2 p=1 L={L} ({r['n_dofs']//2} dofs/component) "
+                  f"solve wall time, {backend} {np.dtype(dtype).name}",
+        "value": round(r["solve_s"], 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 3) if vs else None,
+        "extra": {"warm_s": round(r["warm_s"], 3),
+                  "setup_s": round(r["setup_s"], 3),
+                  "finite": r["finite"],
+                  "baseline_A40_s": base},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,11 @@
 """Barrier objective/gradient/Hessian over a hierarchy level.
 
-Given per-node barrier functions F0/F1/F2 and a level's PanelOps, builds the
-level functions of the search coefficient s:
+Given per-node barrier functions F0/F1/F2, builds level functions of the
+search coefficient s with the level's PanelOps threaded as an *argument*
+(a pytree of arrays, not a closure constant): one jitted Newton then serves
+every level (the jit cache keys on shapes), the large panel tensors are
+never baked into executables, and the element/node axes shard across a
+device mesh by simply sharding the fargs.
 
     f0(s) = sum_i bw_i F0(args_i, Dz_i) + sum_i <wc_i, Dz_i>,  Dz = Dz0 + G s
     f1(s) = G' (bw * F1 + wc)
@@ -12,9 +16,7 @@ masked mean for ``barrier_nodes`` selections; nodes with bw == 0 are dropped
 *before* arithmetic so an infeasible excluded node (F = +/-inf) cannot
 poison the sum (the 0*inf=NaN hazard; reference ``src/convex.jl:207-257``).
 The linear term always uses the physical quadrature weights (passed combined
-as wc = w * t * c). The per-node parameter grids are threaded as explicit
-arguments (not closure constants) so phase-I box escalation re-uses the same
-compiled kernels across rounds.
+as wc = w * t * c).
 """
 from __future__ import annotations
 
@@ -22,23 +24,23 @@ import jax
 import jax.numpy as jnp
 
 
-def make_level_fns(Fs, ops):
-    """Level functions with signature f(s, Dz0, wc, bw, *args)."""
+def make_level_fns(Fs):
+    """Level functions with signature f(s, ops, Dz0, wc, bw, *args)."""
     F0, F1, F2 = Fs
 
-    def f0(s, Dz0, wc, bw, *args):
+    def f0(s, ops, Dz0, wc, bw, *args):
         Dz = Dz0 + ops.apply_G(s)
         v = jax.vmap(F0)(*args, Dz)
         bar = jnp.where(bw != 0, bw * v, 0.0).sum()
         return bar + (wc * Dz).sum()
 
-    def f1(s, Dz0, wc, bw, *args):
+    def f1(s, ops, Dz0, wc, bw, *args):
         Dz = Dz0 + ops.apply_G(s)
         gv = jax.vmap(F1)(*args, Dz)
         y = jnp.where(bw[:, None] != 0, bw[:, None] * gv, 0.0) + wc
         return ops.apply_Gt(y)
 
-    def f2(s, Dz0, wc, bw, *args):
+    def f2(s, ops, Dz0, wc, bw, *args):
         Dz = Dz0 + ops.apply_G(s)
         hv = jax.vmap(F2)(*args, Dz)
         Y = jnp.where(bw[:, None, None] != 0, bw[:, None, None] * hv, 0.0)

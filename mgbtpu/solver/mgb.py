@@ -97,10 +97,12 @@ class ProblemKernels:
         self.dtype = dtype
         self.p = M.geometry.x.shape[0]
         self._ops = {}
-        self._newton = {}
-        self._fns = {}
+        self.fns = make_level_fns(Fs)
+        self._newton = make_newton(*self.fns, line_search=line_search)
         F0 = Fs[0]
         self._node_f0 = jax.jit(lambda args, Dz: jax.vmap(F0)(*args, Dz))
+        _, _f1, _f2 = self.fns
+        self._grad_hess = jax.jit(lambda s0, *fa: (_f1(s0, *fa), _f2(s0, *fa)))
 
     def ops(self, l):
         if l not in self._ops:
@@ -108,27 +110,18 @@ class ProblemKernels:
                                            self.M.R_fine[l], self.p, self.dtype)
         return self._ops[l]
 
-    def fns(self, l):
-        if l not in self._fns:
-            self._fns[l] = make_level_fns(self.Fs, self.ops(l))
-        return self._fns[l]
-
-    def newton(self, l):
-        if l not in self._newton:
-            f0, f1, f2 = self.fns(l)
-            self._newton[l] = make_newton(f0, f1, f2,
-                                          line_search=self.line_search)
-        return self._newton[l]
+    def _fargs(self, l, z, wc, bw, args):
+        Dz0 = self.M.apply_D_full(z).astype(self.dtype)
+        return (self.ops(l), jnp.asarray(Dz0),
+                jnp.asarray(wc.astype(self.dtype)),
+                jnp.asarray(bw.astype(self.dtype))) + tuple(args)
 
     def run_newton(self, l, z, wc, bw, args, *, maxit, stopping):
         """Newton in the level-l search space from s0 = 0."""
-        Dz0 = self.M.apply_D_full(z).astype(self.dtype)
         kind, theta, lambda_tol = stopping
         x0 = jnp.zeros((self.ops(l).n_J,), dtype=self.dtype)
-        fargs = (jnp.asarray(Dz0), jnp.asarray(wc.astype(self.dtype)),
-                 jnp.asarray(bw.astype(self.dtype))) + tuple(args)
-        x, y, k, status = self.newton(l)(
-            x0, fargs, jnp.asarray(maxit, jnp.int32),
+        x, y, k, status = self._newton(
+            x0, self._fargs(l, z, wc, bw, args), jnp.asarray(maxit, jnp.int32),
             jnp.asarray(lambda_tol if kind == "inexact" else -1.0, self.dtype),
             jnp.asarray(theta, self.dtype))
         return (np.asarray(x), float(y), int(k), int(status))
@@ -138,12 +131,10 @@ class ProblemKernels:
 
     def level_grad_hess(self, l, z, wc, bw, args):
         """f1 and dense f2 at s=0 on level l (used by _matched_t)."""
-        Dz0 = jnp.asarray(self.M.apply_D_full(z).astype(self.dtype))
-        _, f1, f2 = self.fns(l)
         s0 = jnp.zeros((self.ops(l).n_J,), dtype=self.dtype)
-        fa = (Dz0, jnp.asarray(wc.astype(self.dtype)),
-              jnp.asarray(bw.astype(self.dtype))) + tuple(args)
-        return np.asarray(f1(s0, *fa)), np.asarray(f2(s0, *fa))
+        fa = self._fargs(l, z, wc, bw, args)
+        g, H = self._grad_hess(s0, *fa)
+        return np.asarray(g), np.asarray(H)
 
 
 def _kernels_for(M: AMGSystem, Fs, line_search, dtype) -> ProblemKernels:

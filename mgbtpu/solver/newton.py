@@ -27,6 +27,51 @@ RUNNING, CONVERGED, DIVERGED, BAD_INIT, BAD_HESSIAN, BAD_DIRECTION = range(6)
 _MAX_LS_TRIALS = 120  # s = beta^k underflows long before this for any dtype
 
 
+def equilibrated_solve(H, g):
+    """Dense symmetric solve: Jacobi equilibration + LU + iterative
+    refinement.
+
+    The barrier Hessian carries 1/slack^2 ~ t^2 entries at active nodes next
+    to O(1) rows; symmetric rescaling to unit diagonal removes that t^2
+    spread from the conditioning (essential for the float32/TPU path). LU
+    with partial pivoting survives the slight numerical indefiniteness that
+    float32 rounding (~n*eps on the unit-diagonal scale) induces near the
+    central path, where a Cholesky would NaN out; two refinement sweeps
+    recover most of the equilibrated accuracy at O(n^2) cost.
+    """
+    from jax.scipy.linalg import lu_factor, lu_solve
+
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(H)))
+    dinv = jnp.where(d > 0, 1.0 / d, 1.0)
+    Hs = H * (dinv[:, None] * dinv[None, :])
+    gs = dinv * g
+    lu = lu_factor(Hs)
+    x = lu_solve(lu, gs)
+    for _ in range(2):
+        r = gs - Hs @ x
+        x = x + lu_solve(lu, r)
+    return dinv * x
+
+
+def regularized_direction(H, g):
+    """Fallback direction when the Newton solve fails (lambda^2 <= 0 away
+    from the optimum): shifted Cholesky on the equilibrated system. The
+    shift makes the factorization float32-robust and the direction a
+    guaranteed descent direction; the caller must not trust the resulting
+    decrement for the inexact stopping test (it is a different quadratic
+    form), only for line-search progress."""
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    dtype = H.dtype
+    delta = jnp.sqrt(jnp.finfo(dtype).eps).astype(dtype)
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(H)))
+    dinv = jnp.where(d > 0, 1.0 / d, 1.0)
+    Hs = H * (dinv[:, None] * dinv[None, :])
+    Hs = Hs + delta * jnp.eye(H.shape[0], dtype=dtype)
+    cf = cho_factor(Hs)
+    return dinv * cho_solve(cf, dinv * g)
+
+
 def stopping_exact(theta):
     """Stop when the objective AND the gradient norm both stagnate."""
     return ("exact", float(theta), -1.0)
@@ -158,8 +203,7 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
     """
     ls_kind, ls_beta, ls_c1 = line_search
     if solve is None:
-        def solve(H, g):
-            return jnp.linalg.solve(H, g)
+        solve = equilibrated_solve
 
     @jax.jit
     def newton(x0, fargs, maxit, lambda_tol, theta):
@@ -177,11 +221,22 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             x, y, g, ymin, gmin, incmin, k, status = carry
             H = f2(x, *fargs)
             n_dir = solve(H, g)
-            dir_ok = jnp.all(jnp.isfinite(n_dir))
             inc = g @ n_dir
-            # lambda^2 <= 0: converged only at the objective roundoff floor,
-            # else the Hessian solve failed (iterate pinned to the wall) and
-            # the caller must bisect / shrink kappa (reference newton.jl:256-270)
+            # lambda^2 <= 0 away from the objective roundoff floor: the
+            # Hessian solve failed (float32 near the barrier wall). Retry
+            # once with the regularized fallback direction; its decrement is
+            # a different quadratic form, so the inexact stop is suppressed
+            # on fallback iterations.
+            at_floor0 = jnp.abs(inc) <= epsT * jnp.maximum(jnp.abs(y), 1.0)
+            need_fb = (inc <= 0) & ~at_floor0 & jnp.all(jnp.isfinite(H))
+            n_dir = lax.cond(need_fb,
+                             lambda _: regularized_direction(H, g),
+                             lambda _: n_dir, None)
+            inc = jnp.where(need_fb, g @ n_dir, inc)
+            dir_ok = jnp.all(jnp.isfinite(n_dir))
+            # lambda^2 <= 0 (post-fallback): converged only at the objective
+            # roundoff floor, else report failure so the caller bisects /
+            # shrinks kappa (reference newton.jl:256-270)
             at_floor = jnp.abs(inc) <= epsT * jnp.maximum(jnp.abs(y), 1.0)
             bad_inc = inc <= 0
 
@@ -192,7 +247,7 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
                 xn, yn, gn = _backtracking(f0, f1, fargs, x, y, g, n_dir, inc,
                                            ls_beta, ls_c1)
             sqrt_inc = jnp.sqrt(jnp.maximum(inc, 0.0))
-            stop_inexact = (lambda_tol >= 0) & (sqrt_inc < lambda_tol)
+            stop_inexact = (lambda_tol >= 0) & (sqrt_inc < lambda_tol) & ~need_fb
             stop_exact = (yn >= ymin) & (jnp.linalg.norm(gn) >= theta * gmin)
             stopped = stop_inexact | stop_exact
 
