@@ -12,7 +12,7 @@ sharded with shard_map across chips.
 """
 from . import _config  # noqa: F401  (enables x64 off-TPU)
 
-from .utils import Log, MGBConvergenceFailure, map_rows
+from .utils import Log, MGBConvergenceFailure, map_rows, interpolate, chebfun
 from .convex import (Convex, convex_euclidian_power, convex_Euclidian_power,
                      convex_linear, convex_piecewise, intersect)
 from .discretize import (fem1d, fem2d, fem3d, fem2d_P1, fem2d_P2,
@@ -28,7 +28,7 @@ from .solver import (assemble, mgb_solve, MGBProblem, MGBSOL,
 __version__ = "0.1.0"
 
 __all__ = [
-    "Log", "MGBConvergenceFailure", "map_rows",
+    "Log", "MGBConvergenceFailure", "map_rows", "interpolate", "chebfun",
     "Convex", "convex_euclidian_power", "convex_Euclidian_power",
     "convex_linear", "convex_piecewise", "intersect",
     "fem1d", "fem2d", "fem3d", "fem2d_P1", "fem2d_P2",

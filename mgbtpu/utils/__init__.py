@@ -2,6 +2,7 @@ from .pytree import pytree_dataclass
 from .log import Log, safe_pow, Logger
 from .maps import map_rows
 from .errors import MGBConvergenceFailure
+from .interpolate import interpolate, chebfun
 
 __all__ = [
     "pytree_dataclass",
@@ -10,4 +11,6 @@ __all__ = [
     "Logger",
     "map_rows",
     "MGBConvergenceFailure",
+    "interpolate",
+    "chebfun",
 ]

@@ -1,0 +1,50 @@
+"""interpolate + plot smoke/correctness tests (reference runtests model:
+interpolate(sol, 0.75) ~ 0.5 for the 1D golden; spectral extrapolation must
+work on BOTH sides)."""
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+
+from mgbtpu import (amg, assemble, fem1d, fem2d_P2, interpolate, mgb_solve,
+                    spectral1d, spectral2d)
+from mgbtpu.plot import plot
+
+
+def test_interpolate_fem1d_golden():
+    sol = mgb_solve(assemble(amg(fem1d(nodes=np.linspace(-1, 1, 3))), p=1.0))
+    v = interpolate(sol.geometry, sol.z[:, 0], 0.75)
+    assert abs(v - 0.5) < 1e-6
+    assert plot(sol) is not None
+
+
+def test_interpolate_fem1d_quadratic_exact():
+    g = fem1d(nodes=np.linspace(-1, 1, 4), k=2)
+    z = g.xflat()[:, 0] ** 2
+    ts = np.array([-0.9, -0.3, 0.1, 0.77])
+    np.testing.assert_allclose(interpolate(g, z, ts), ts ** 2, atol=1e-12)
+
+
+def test_spectral_extrapolation_both_sides():
+    gs = spectral1d(n=6)
+    zq = gs.xflat()[:, 0] ** 2
+    left = interpolate(gs, zq, [-1.5])[0]
+    right = interpolate(gs, zq, [1.5])[0]
+    np.testing.assert_allclose(left, 2.25, atol=1e-10)
+    np.testing.assert_allclose(left, right, atol=1e-10)
+
+
+def test_interpolate_spectral2d():
+    g = spectral2d(n=5)
+    xf = g.xflat()
+    z = xf[:, 0] ** 2 + 2 * xf[:, 1]
+    pts = np.array([[0.0, 0.0], [0.5, 0.5], [-0.5, 0.3]])
+    np.testing.assert_allclose(interpolate(g, z, pts),
+                               pts[:, 0] ** 2 + 2 * pts[:, 1], atol=1e-10)
+
+
+def test_plot_2d():
+    g = fem2d_P2()
+    z = g.xflat()[:, 0]
+    assert plot(g, z) is not None
