@@ -31,8 +31,22 @@ def make_level_fns(Fs):
     def f0(s, ops, Dz0, wc, bw, *args):
         Dz = Dz0 + ops.apply_G(s)
         v = jax.vmap(F0)(*args, Dz)
-        bar = jnp.where(bw != 0, bw * v, 0.0).sum()
-        return bar + (wc * Dz).sum()
+        if not ops.dd:
+            per_node = jnp.where(bw != 0, bw * v, 0.0) + (wc * Dz).sum(axis=1)
+            return per_node.sum()
+        # float32 path: the objective is a stacked df64 scalar — its
+        # differences along a line search are ~lambda^2, far below the f32
+        # ulp of the value itself
+        from ..ops import df64
+
+        bh, bl = df64.two_prod(bw, v)
+        bh = jnp.where(bw != 0, bh, 0.0)
+        bl = jnp.where(bw != 0, bl, 0.0)
+        lh, ll = df64.two_prod(wc, Dz)
+        lh, ll = df64.dd_tree_sum((lh, ll), axis=1)
+        ph, pl = df64.dd_add((bh, bl), (lh, ll))
+        hi, lo = df64.dd_tree_sum((ph, pl), axis=0)
+        return df64.s_pack(hi, lo)
 
     def f1(s, ops, Dz0, wc, bw, *args):
         Dz = Dz0 + ops.apply_G(s)

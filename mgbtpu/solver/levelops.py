@@ -26,7 +26,7 @@ import scipy.sparse as sp
 from ..utils import pytree_dataclass
 
 
-@pytree_dataclass(static=("n_nodes", "nD", "n_J", "p", "N", "C"))
+@pytree_dataclass(static=("n_nodes", "nD", "n_J", "p", "N", "C", "dd"))
 class PanelOps:
     cols: jnp.ndarray      # (N, C) int32, sorted per element, padded by repeat
     panels: jnp.ndarray    # (nD, N, p, C)
@@ -36,6 +36,7 @@ class PanelOps:
     p: int
     N: int
     C: int
+    dd: bool = False       # double-float reductions (the float32/TPU path)
 
     def apply_G(self, s):
         """(n_J,) level coefficients -> (n_nodes, nD) operator values."""
@@ -44,21 +45,76 @@ class PanelOps:
         return out.reshape(self.N * self.p, self.nD)
 
     def apply_Gt(self, Y):
-        """(n_nodes, nD) node values -> (n_J,) adjoint."""
+        """(n_nodes, nD) node values -> (n_J,) adjoint.
+
+        In dd mode the per-element contraction runs in double-float so the
+        returned f32 entries are correctly rounded — the gradient entries
+        near the central path are small differences of large barrier/cost
+        terms, and plain f32 accumulation noise there floors the Newton
+        decrement above its stopping tolerance.
+        """
         Yr = Y.reshape(self.N, self.p, self.nD)
-        contrib = jnp.einsum("kNpc,Npk->Nc", self.panels, Yr)
-        return jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(contrib)
+        if not self.dd:
+            contrib = jnp.einsum("kNpc,Npk->Nc", self.panels, Yr)
+            return jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(contrib)
+        from ..ops import df64
+
+        # products (k, N, p, C) = panels * Y, reduced over (p, k) in df64
+        ph, pe = df64.two_prod(self.panels,
+                               Yr.transpose(2, 0, 1)[:, :, :, None])
+        hi, lo = df64.dd_tree_sum((ph, pe), axis=2)
+        hi, lo = df64.dd_tree_sum((hi, lo), axis=0)
+        zh = jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(hi)
+        zl = jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(lo)
+        return zh + zl
 
     def assemble_dense(self, Ynode):
-        """(n_nodes, nD, nD) per-node Hessian values -> dense (n_J, n_J)."""
+        """(n_nodes, nD, nD) per-node Hessian values -> dense (n_J, n_J).
+
+        In dd mode both contraction stages and the element reduction run in
+        double-float, so every assembled entry is correctly rounded f32:
+        the matrix perturbation is then ~eps_f32*|H| (componentwise), which
+        keeps the barrier Hessian numerically PSD — plain f32 accumulation
+        makes it indefinite at the -1e-3 scale and the Newton solve
+        collapses (lambda^2 <= 0) long before the float32 tolerance target.
+        """
         Yr = Ynode.reshape(self.N, self.p, self.nD, self.nD)
-        He = jnp.einsum("iNpc,Npij,jNpd->Ncd", self.panels, Yr, self.panels)
+        if not self.dd:
+            He = jnp.einsum("iNpc,Npij,jNpd->Ncd", self.panels, Yr,
+                            self.panels)
+            H = jnp.zeros((self.n_J, self.n_J), dtype=Ynode.dtype)
+            return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
+        from ..ops import df64
+
+        # stage 1: B[N,p,i,d] = sum_j Y[N,p,i,j] * panels[j,N,p,d]
+        Pj = self.panels.transpose(1, 2, 0, 3)              # (N,p,j,C)
+        bh, be = df64.two_prod(Yr[..., None], Pj[:, :, None, :, :])
+        Bh, Bl = df64.dd_tree_sum((bh, be), axis=3)         # (N,p,i,C)
+        # stage 2: He[N,c,d] = sum_{p,i} panels[i,N,p,c] * B[N,p,i,d]
+        Pi = self.panels.transpose(1, 2, 0, 3)              # (N,p,i,C)
+        th, te = df64.two_prod(Pi[..., :, None], Bh[..., None, :])
+        te = te + Pi[..., :, None] * Bl[..., None, :]
+        th = th.reshape(self.N, self.p * self.nD, self.C, self.C)
+        te = te.reshape(self.N, self.p * self.nD, self.C, self.C)
+        Hh, Hl = df64.dd_tree_sum((th, te), axis=1)         # (N,C,C)
         H = jnp.zeros((self.n_J, self.n_J), dtype=Ynode.dtype)
-        return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
+        H = H.at[self.cols[:, :, None], self.cols[:, None, :]].add(Hh)
+        Hl_s = jnp.zeros((self.n_J, self.n_J), dtype=Ynode.dtype)
+        Hl_s = Hl_s.at[self.cols[:, :, None], self.cols[:, None, :]].add(Hl)
+        return H + Hl_s
+
+    def barrier_sum(self, vals):
+        """Scalar reduction of per-node barrier values (dd-aware)."""
+        if not self.dd:
+            return vals.sum()
+        from ..ops import df64
+
+        hi, lo = df64.dd_sum_f(vals, axis=0)
+        return hi + lo
 
 
 def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
-                    dtype) -> PanelOps:
+                    dtype, dd: bool = False) -> PanelOps:
     """Host-side plan construction.
 
     ``D_fine``: list of (BlockDiagHost, comp) fine operators; ``R``: the
@@ -110,7 +166,7 @@ def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
     return PanelOps(
         cols=jnp.asarray(cols, dtype=jnp.int32),
         panels=jnp.asarray(panels),
-        n_nodes=m, nD=nD, n_J=n_J, p=p, N=N, C=C)
+        n_nodes=m, nD=nD, n_J=n_J, p=p, N=N, C=C, dd=dd)
 
 
 def _vector_slots(cols, counts, e, c):

@@ -97,8 +97,13 @@ class ProblemKernels:
         self.dtype = dtype
         self.p = M.geometry.x.shape[0]
         self._ops = {}
+        # double-float reductions + df64 objective on the float32 (TPU) path:
+        # plain f32 accumulation makes the assembled Hessian numerically
+        # indefinite and floors the Newton decrement above its tolerance
+        self.dd = np.dtype(dtype) == np.float32
         self.fns = make_level_fns(Fs)
-        self._newton = make_newton(*self.fns, line_search=line_search)
+        self._newton = make_newton(*self.fns, line_search=line_search,
+                                   dd=self.dd)
         F0 = Fs[0]
         self._node_f0 = jax.jit(lambda args, Dz: jax.vmap(F0)(*args, Dz))
         _, _f1, _f2 = self.fns
@@ -107,7 +112,8 @@ class ProblemKernels:
     def ops(self, l):
         if l not in self._ops:
             self._ops[l] = build_panel_ops(self.M.D_fine, self.M.nu,
-                                           self.M.R_fine[l], self.p, self.dtype)
+                                           self.M.R_fine[l], self.p,
+                                           self.dtype, dd=self.dd)
         return self._ops[l]
 
     def _fargs(self, l, z, wc, bw, args):

@@ -9,6 +9,10 @@ reference chose for its GPU kernels). Algorithmic parity with reference
 ``src/newton.jl`` (newton at :227-287, backtracking at :139-154, Illinois at
 :84-103, stopping at :187-225).
 
+float32/TPU path (``dd=True``): objective values flow as stacked double-float
+scalars (their differences along a line search are ~lambda^2, below the f32
+ulp of the value), and the Newton decrement is a df64 dot product.
+
 Status codes: 0 running, 1 converged, 2 not converged (maxit / line-search
 exhaustion), 3 non-finite initial value, 4 Hessian-solve failure at a
 non-optimal point (lambda^2 <= 0 with large gradient), 5 non-finite Newton
@@ -16,15 +20,69 @@ direction.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops import df64
+
 RUNNING, CONVERGED, DIVERGED, BAD_INIT, BAD_HESSIAN, BAD_DIRECTION = range(6)
 
 _MAX_LS_TRIALS = 120  # s = beta^k underflows long before this for any dtype
+
+
+class _PlainY:
+    """Objective values as plain scalars (the float64 path)."""
+    @staticmethod
+    def hi(y):
+        return y
+
+    @staticmethod
+    def value(y):
+        return y
+
+    @staticmethod
+    def le(a, b):
+        return a <= b
+
+    @staticmethod
+    def minimum(a, b):
+        return jnp.minimum(a, b)
+
+    @staticmethod
+    def sub_f(y, f):
+        return y - f
+
+    @staticmethod
+    def isfinite(y):
+        return jnp.isfinite(y)
+
+
+class _DDY:
+    """Objective values as stacked df64 scalars (the float32/TPU path)."""
+    @staticmethod
+    def hi(y):
+        return df64.s_hi(y)
+
+    @staticmethod
+    def value(y):
+        return df64.s_val(y)
+
+    @staticmethod
+    def le(a, b):
+        return df64.s_le(a, b)
+
+    @staticmethod
+    def minimum(a, b):
+        return df64.s_min(a, b)
+
+    @staticmethod
+    def sub_f(y, f):
+        return df64.s_add_f(y, -f)
+
+    @staticmethod
+    def isfinite(y):
+        return df64.s_isfinite(y)
 
 
 def equilibrated_solve(H, g):
@@ -35,9 +93,9 @@ def equilibrated_solve(H, g):
     to O(1) rows; symmetric rescaling to unit diagonal removes that t^2
     spread from the conditioning (essential for the float32/TPU path). LU
     with partial pivoting survives the slight numerical indefiniteness that
-    float32 rounding (~n*eps on the unit-diagonal scale) induces near the
-    central path, where a Cholesky would NaN out; two refinement sweeps
-    recover most of the equilibrated accuracy at O(n^2) cost.
+    rounding induces near the central path, where a Cholesky would NaN out;
+    two refinement sweeps recover most of the equilibrated accuracy at
+    O(n^2) cost.
     """
     from jax.scipy.linalg import lu_factor, lu_solve
 
@@ -90,7 +148,7 @@ def linesearch_illinois(beta=0.5):
     return ("illinois", float(beta), 0.0)
 
 
-def _backtracking(f0, f1, fargs, x, y, g, n_dir, inc, beta, c1):
+def _backtracking(Y, f0, f1, fargs, x, y, g, n_dir, inc, beta, c1):
     """Armijo backtracking; returns the last finite trial if the sufficient-
     decrease test never passes before s underflows (the reference's
     _linesearch_loop contract)."""
@@ -99,28 +157,26 @@ def _backtracking(f0, f1, fargs, x, y, g, n_dir, inc, beta, c1):
         xn = x - s * n_dir
         yn = f0(xn, *fargs)
         gn = f1(xn, *fargs)
-        ok = jnp.isfinite(yn) & jnp.all(jnp.isfinite(gn))
+        ok = Y.isfinite(yn) & jnp.all(jnp.isfinite(gn))
         stalled = jnp.linalg.norm(xn - x) == 0
-        accept = ok & (stalled | (yn <= y - c1 * inc * s))
+        accept = ok & (stalled | Y.le(yn, Y.sub_f(y, c1 * inc * s)))
         return xn, yn, gn, ok, accept
 
     def cond(carry):
-        s, _, _, _, accepted, any_ok, trials = carry
+        s, _, _, _, accepted, trials = carry
         return (~accepted) & (s > 0) & (trials < _MAX_LS_TRIALS)
 
     def body(carry):
-        s, xb, yb, gb, _, any_ok, trials = carry
+        s, xb, yb, gb, _, trials = carry
         xn, yn, gn, ok, accept = eval_trial(s)
         xb = jnp.where(ok, xn, xb)
         yb = jnp.where(ok, yn, yb)
         gb = jnp.where(ok, gn, gb)
-        return (jnp.where(accept, s, s * beta), xb, yb, gb, accept,
-                any_ok | ok, trials + 1)
+        return (jnp.where(accept, s, s * beta), xb, yb, gb, accept, trials + 1)
 
-    s0 = jnp.asarray(1.0, dtype=y.dtype)
-    init = (s0, x, y, g, jnp.asarray(False), jnp.asarray(False),
-            jnp.asarray(0, dtype=jnp.int32))
-    _, xb, yb, gb, accepted, any_ok, _ = lax.while_loop(cond, body, init)
+    s0 = jnp.asarray(1.0, dtype=x.dtype)
+    init = (s0, x, y, g, jnp.asarray(False), jnp.asarray(0, dtype=jnp.int32))
+    _, xb, yb, gb, _, _ = lax.while_loop(cond, body, init)
     return xb, yb, gb
 
 
@@ -150,7 +206,7 @@ def _illinois_root(phi, a, b, fa, fb, maxit=128):
     return b
 
 
-def _illinois_ls(f0, f1, fargs, x, y, g, n_dir, inc, beta):
+def _illinois_ls(Y, f0, f1, fargs, x, y, g, n_dir, inc, beta):
     """Exact line search: root of phi(s) = <grad f(x - s n), n>; falls back
     to shrinking s when the trial is rejected (non-finite)."""
 
@@ -158,7 +214,7 @@ def _illinois_ls(f0, f1, fargs, x, y, g, n_dir, inc, beta):
         xn = x - s * n_dir
         yn = f0(xn, *fargs)
         gn = f1(xn, *fargs)
-        return jnp.where(jnp.isfinite(yn), gn @ n_dir, jnp.nan)
+        return jnp.where(Y.isfinite(yn), gn @ n_dir, jnp.nan)
 
     def attempt(s):
         fb = phi(s)
@@ -171,7 +227,7 @@ def _illinois_ls(f0, f1, fargs, x, y, g, n_dir, inc, beta):
         xn = x - s_root * n_dir
         yn = f0(xn, *fargs)
         gn = f1(xn, *fargs)
-        ok = usable & jnp.isfinite(yn) & jnp.all(jnp.isfinite(gn))
+        ok = usable & Y.isfinite(yn) & jnp.all(jnp.isfinite(gn))
         return xn, yn, gn, ok
 
     def cond(carry):
@@ -186,24 +242,32 @@ def _illinois_ls(f0, f1, fargs, x, y, g, n_dir, inc, beta):
         gb = jnp.where(ok, gn, gb)
         return (jnp.where(ok, s, s * beta), xb, yb, gb, ok, trials + 1)
 
-    init = (jnp.asarray(1.0, dtype=y.dtype), x, y, g, jnp.asarray(False),
+    init = (jnp.asarray(1.0, dtype=x.dtype), x, y, g, jnp.asarray(False),
             jnp.asarray(0, jnp.int32))
     _, xb, yb, gb, _, _ = lax.while_loop(cond, body, init)
     return xb, yb, gb
 
 
 def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
-                solve=None):
+                solve=None, dd=False):
     """Build the jitted Newton runner.
 
     Returned fn signature:
     ``newton(x0, fargs, maxit, lambda_tol, theta) -> (x, y, k, status)``
     where ``fargs`` are the extra arguments threaded to f0/f1/f2
-    (Dz0, wc, bw, ...), ``lambda_tol < 0`` selects the exact criterion.
+    (ops, Dz0, wc, bw, args...), ``lambda_tol < 0`` selects the exact
+    criterion.
     """
     ls_kind, ls_beta, ls_c1 = line_search
     if solve is None:
         solve = equilibrated_solve
+    Y = _DDY if dd else _PlainY
+
+    def dot(a, b):
+        if dd:
+            hi, lo = df64.dd_dot(a, b)
+            return hi + lo
+        return a @ b
 
     @jax.jit
     def newton(x0, fargs, maxit, lambda_tol, theta):
@@ -211,7 +275,7 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         epsT = jnp.finfo(dtype).eps
         y0 = f0(x0, *fargs)
         g0 = f1(x0, *fargs)
-        ok0 = jnp.isfinite(y0) & jnp.all(jnp.isfinite(g0))
+        ok0 = Y.isfinite(y0) & jnp.all(jnp.isfinite(g0))
 
         def cond(carry):
             x, y, g, ymin, gmin, incmin, k, status = carry
@@ -221,34 +285,34 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             x, y, g, ymin, gmin, incmin, k, status = carry
             H = f2(x, *fargs)
             n_dir = solve(H, g)
-            inc = g @ n_dir
+            inc = dot(g, n_dir)
             # lambda^2 <= 0 away from the objective roundoff floor: the
             # Hessian solve failed (float32 near the barrier wall). Retry
             # once with the regularized fallback direction; its decrement is
             # a different quadratic form, so the inexact stop is suppressed
             # on fallback iterations.
-            at_floor0 = jnp.abs(inc) <= epsT * jnp.maximum(jnp.abs(y), 1.0)
+            at_floor0 = jnp.abs(inc) <= epsT * jnp.maximum(jnp.abs(Y.hi(y)), 1.0)
             need_fb = (inc <= 0) & ~at_floor0 & jnp.all(jnp.isfinite(H))
             n_dir = lax.cond(need_fb,
                              lambda _: regularized_direction(H, g),
                              lambda _: n_dir, None)
-            inc = jnp.where(need_fb, g @ n_dir, inc)
+            inc = jnp.where(need_fb, dot(g, n_dir), inc)
             dir_ok = jnp.all(jnp.isfinite(n_dir))
             # lambda^2 <= 0 (post-fallback): converged only at the objective
             # roundoff floor, else report failure so the caller bisects /
             # shrinks kappa (reference newton.jl:256-270)
-            at_floor = jnp.abs(inc) <= epsT * jnp.maximum(jnp.abs(y), 1.0)
+            at_floor = jnp.abs(inc) <= epsT * jnp.maximum(jnp.abs(Y.hi(y)), 1.0)
             bad_inc = inc <= 0
 
             if ls_kind == "illinois":
-                xn, yn, gn = _illinois_ls(f0, f1, fargs, x, y, g, n_dir, inc,
-                                          ls_beta)
+                xn, yn, gn = _illinois_ls(Y, f0, f1, fargs, x, y, g, n_dir,
+                                          inc, ls_beta)
             else:
-                xn, yn, gn = _backtracking(f0, f1, fargs, x, y, g, n_dir, inc,
-                                           ls_beta, ls_c1)
+                xn, yn, gn = _backtracking(Y, f0, f1, fargs, x, y, g, n_dir,
+                                           inc, ls_beta, ls_c1)
             sqrt_inc = jnp.sqrt(jnp.maximum(inc, 0.0))
             stop_inexact = (lambda_tol >= 0) & (sqrt_inc < lambda_tol) & ~need_fb
-            stop_exact = (yn >= ymin) & (jnp.linalg.norm(gn) >= theta * gmin)
+            stop_exact = Y.le(ymin, yn) & (jnp.linalg.norm(gn) >= theta * gmin)
             stopped = stop_inexact | stop_exact
 
             status = jnp.where(
@@ -259,18 +323,21 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             ).astype(jnp.int32)
             take = dir_ok & ~bad_inc
             x2 = jnp.where(take, xn, x)
-            y2 = jnp.where(take, yn, y)
+            y2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, a, b), yn, y)
             g2 = jnp.where(take, gn, g)
             return (x2, y2, g2,
-                    jnp.minimum(ymin, y2), jnp.minimum(gmin, jnp.linalg.norm(g2)),
+                    Y.minimum(ymin, y2),
+                    jnp.minimum(gmin, jnp.linalg.norm(g2)),
                     jnp.minimum(incmin, jnp.where(take, inc, incmin)),
                     k + 1, status)
 
         init = (x0, y0, g0, y0, jnp.linalg.norm(g0),
                 jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32),
                 jnp.where(ok0, RUNNING, BAD_INIT).astype(jnp.int32))
-        x, y, g, ymin, gmin, incmin, k, status = lax.while_loop(cond, body, init)
+        x, y, g, ymin, gmin, incmin, k, status = lax.while_loop(cond, body,
+                                                                init)
         status = jnp.where(status == RUNNING, DIVERGED, status)
-        return x, y, k, status
+        return x, Y.value(y), k, status
 
     return newton

