@@ -21,6 +21,27 @@ if not os.environ.get("MGBTPU_NO_X64"):
     except Exception:
         pass
 
+# TPU matmul precision: float32 matmuls on TPU default to bf16 passes, which
+# destroys the Newton-system accuracy (the barrier Hessian SYRK, the panel
+# einsums, and the factorizations all run through the MXU). HIGHEST selects
+# the multi-pass scheme with full f32 accuracy.
+try:  # pragma: no cover - trivial
+    jax.config.update("jax_default_matmul_precision", "highest")
+except Exception:
+    pass
+
+# Persistent compilation cache: the jitted Newton programs are large (nested
+# while loops + factorizations) and TPU compilation through the remote
+# tunnel is minutes per level; cache compiled executables across processes.
+if not os.environ.get("MGBTPU_NO_COMPILE_CACHE"):
+    try:  # pragma: no cover - environment dependent
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("MGBTPU_COMPILE_CACHE", "/tmp/mgbtpu_jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 def default_dtype():
     """float64 when x64 is enabled (CPU path), else float32 (TPU path)."""

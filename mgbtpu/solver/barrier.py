@@ -58,6 +58,29 @@ def make_level_fns(Fs):
         Dz = Dz0 + ops.apply_G(s)
         hv = jax.vmap(F2)(*args, Dz)
         Y = jnp.where(bw[:, None, None] != 0, bw[:, None, None] * hv, 0.0)
-        return ops.assemble_dense(Y)
+        if not ops.dd:
+            return ops.assemble_dense(Y)
+        # float32 path: Gram-form assembly. Per-node Cholesky factors of the
+        # (PSD) barrier Hessian blocks, with a per-node jitter ladder sized
+        # to the block's own f32 evaluation noise — the assembled H is then
+        # PSD by construction instead of indefinite at the ~1e-3 level.
+        eps = jnp.finfo(Y.dtype).eps
+        scale = jnp.max(jnp.abs(Y), axis=(1, 2))
+        eye = jnp.eye(Y.shape[1], dtype=Y.dtype)
+        L = None
+        for c in (8.0, 1024.0):
+            Lc = jnp.linalg.cholesky(Y + (c * eps) * scale[:, None, None] * eye)
+            if L is None:
+                L = Lc
+            else:
+                ok = jnp.all(jnp.isfinite(L), axis=(1, 2))
+                L = jnp.where(ok[:, None, None], L, Lc)
+        # a still-failing node (genuinely indefinite evaluation) contributes
+        # its absolute-diagonal surrogate instead of NaN
+        ok = jnp.all(jnp.isfinite(L), axis=(1, 2))
+        diag_sqrt = jnp.sqrt(jnp.abs(
+            jnp.diagonal(Y, axis1=1, axis2=2)))[:, :, None] * eye
+        L = jnp.where(ok[:, None, None], L, diag_sqrt)
+        return ops.assemble_gram(L)
 
     return f0, f1, f2

@@ -103,6 +103,21 @@ class PanelOps:
         Hl_s = Hl_s.at[self.cols[:, :, None], self.cols[:, None, :]].add(Hl)
         return H + Hl_s
 
+    def assemble_gram(self, Lnode):
+        """Gram-form Hessian assembly: given per-node lower factors L with
+        bw*F2 = L L^T, compute H = sum_i (L_i^T P_i)^T (L_i^T P_i) as a
+        batched SYRK and scatter. Numerically PSD *by construction* (a Gram
+        matrix's min eigenvalue is >= -eps*|H| regardless of the rounding of
+        the factors), which eliminates the float32 indefiniteness that
+        three-factor P'YP accumulation produces; also one einsum cheaper.
+        """
+        Lr = Lnode.reshape(self.N, self.p, self.nD, self.nD)
+        B = jnp.einsum("jNpc,Npji->Npic", self.panels, Lr)
+        Bf = B.reshape(self.N, self.p * self.nD, self.C)
+        He = jnp.einsum("Nkc,Nkd->Ncd", Bf, Bf)
+        H = jnp.zeros((self.n_J, self.n_J), dtype=Lnode.dtype)
+        return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
+
     def barrier_sum(self, vals):
         """Scalar reduction of per-node barrier values (dd-aware)."""
         if not self.dd:

@@ -111,23 +111,58 @@ def equilibrated_solve(H, g):
     return dinv * x
 
 
-def regularized_direction(H, g):
-    """Fallback direction when the Newton solve fails (lambda^2 <= 0 away
-    from the optimum): shifted Cholesky on the equilibrated system. The
-    shift makes the factorization float32-robust and the direction a
-    guaranteed descent direction; the caller must not trust the resulting
-    decrement for the inexact stopping test (it is a different quadratic
-    form), only for line-search progress."""
+def gram_cholesky_solve(H, g):
+    """Dense SPD solve for Gram-assembled Hessians (float32 path): Jacobi
+    equilibration + tiny-shift Cholesky + iterative refinement. The Gram
+    assembly guarantees min_ev >= -eps*|H| on the equilibrated scale, so a
+    16*eps shift makes the factorization unconditionally safe and the
+    resulting direction satisfies g.n > 0 structurally."""
+    import numpy as _np
     from jax.scipy.linalg import cho_factor, cho_solve
 
     dtype = H.dtype
-    delta = jnp.sqrt(jnp.finfo(dtype).eps).astype(dtype)
+    eps = float(_np.finfo(_np.dtype(dtype)).eps)
     d = jnp.sqrt(jnp.abs(jnp.diagonal(H)))
     dinv = jnp.where(d > 0, 1.0 / d, 1.0)
     Hs = H * (dinv[:, None] * dinv[None, :])
-    Hs = Hs + delta * jnp.eye(H.shape[0], dtype=dtype)
-    cf = cho_factor(Hs)
-    return dinv * cho_solve(cf, dinv * g)
+    gs = dinv * g
+    cf = cho_factor(Hs + jnp.asarray(16 * eps, dtype)
+                    * jnp.eye(H.shape[0], dtype=dtype))
+    x = cho_solve(cf, gs)
+    for _ in range(2):
+        r = gs - Hs @ x
+        x = x + cho_solve(cf, r)
+    return dinv * x
+
+
+def regularized_direction(H, g):
+    """Fallback direction when the Newton solve fails (lambda^2 <= 0 away
+    from the optimum): shifted Cholesky on the equilibrated system, with a
+    shift ladder — float32 *evaluation* noise of the per-node barrier
+    Hessians can make the assembled matrix indefinite at the ~1e-3 level (on
+    the unit-diagonal scale), so a single sqrt(eps) shift can still NaN out.
+    The direction is guaranteed descent; the caller must not trust its
+    decrement for the inexact stopping test (a different quadratic form),
+    only for line-search progress."""
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    import numpy as _np
+
+    dtype = H.dtype
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(H)))
+    dinv = jnp.where(d > 0, 1.0 / d, 1.0)
+    Hs = H * (dinv[:, None] * dinv[None, :])
+    gs = dinv * g
+    eye = jnp.eye(H.shape[0], dtype=dtype)
+    eps0 = float(_np.sqrt(_np.finfo(_np.dtype(dtype)).eps))
+    out = None
+    for delta in (eps0, 3e-2, 5e-1):
+        cf = cho_factor(Hs + jnp.asarray(delta, dtype) * eye)
+        x = dinv * cho_solve(cf, gs)
+        # keep the first finite candidate (ladder evaluated smallest-first)
+        out = x if out is None else jnp.where(jnp.all(jnp.isfinite(out)),
+                                              out, x)
+    return out
 
 
 def stopping_exact(theta):
@@ -260,7 +295,7 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
     """
     ls_kind, ls_beta, ls_c1 = line_search
     if solve is None:
-        solve = equilibrated_solve
+        solve = gram_cholesky_solve if dd else equilibrated_solve
     Y = _DDY if dd else _PlainY
 
     def dot(a, b):
@@ -269,10 +304,15 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             return hi + lo
         return a @ b
 
+    # Roundoff floor for the lambda^2 <= 0 convergence test: in dd mode the
+    # decrement noise is set by the float32 *evaluation* of the per-node
+    # Hessian blocks, not by eps(|y|); widen the floor accordingly.
+    floor_scale = 32.0 if dd else 1.0
+
     @jax.jit
     def newton(x0, fargs, maxit, lambda_tol, theta):
         dtype = x0.dtype
-        epsT = jnp.finfo(dtype).eps
+        epsT = jnp.finfo(dtype).eps * floor_scale
         y0 = f0(x0, *fargs)
         g0 = f1(x0, *fargs)
         ok0 = Y.isfinite(y0) & jnp.all(jnp.isfinite(g0))
@@ -286,17 +326,24 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             H = f2(x, *fargs)
             n_dir = solve(H, g)
             inc = dot(g, n_dir)
-            # lambda^2 <= 0 away from the objective roundoff floor: the
-            # Hessian solve failed (float32 near the barrier wall). Retry
-            # once with the regularized fallback direction; its decrement is
-            # a different quadratic form, so the inexact stop is suppressed
-            # on fallback iterations.
-            at_floor0 = jnp.abs(inc) <= epsT * jnp.maximum(jnp.abs(Y.hi(y)), 1.0)
-            need_fb = (inc <= 0) & ~at_floor0 & jnp.all(jnp.isfinite(H))
-            n_dir = lax.cond(need_fb,
-                             lambda _: regularized_direction(H, g),
-                             lambda _: n_dir, None)
-            inc = jnp.where(need_fb, dot(g, n_dir), inc)
+            if not dd:
+                # lambda^2 <= 0 away from the objective roundoff floor: the
+                # Hessian solve failed (iterate pinned to the barrier wall).
+                # Retry once with the regularized fallback direction; its
+                # decrement is a different quadratic form, so the inexact
+                # stop is suppressed on fallback iterations. (The dd path
+                # assembles H in Gram form — PSD by construction — so its
+                # shifted-Cholesky solve cannot produce lambda^2 <= 0 and
+                # the fallback would only bloat the TPU compile.)
+                at_floor0 = jnp.abs(inc) <= epsT * jnp.maximum(
+                    jnp.abs(Y.hi(y)), 1.0)
+                need_fb = (inc <= 0) & ~at_floor0 & jnp.all(jnp.isfinite(H))
+                n_dir = lax.cond(need_fb,
+                                 lambda _: regularized_direction(H, g),
+                                 lambda _: n_dir, None)
+                inc = jnp.where(need_fb, dot(g, n_dir), inc)
+            else:
+                need_fb = jnp.asarray(False)
             dir_ok = jnp.all(jnp.isfinite(n_dir))
             # lambda^2 <= 0 (post-fallback): converged only at the objective
             # roundoff floor, else report failure so the caller bisects /
