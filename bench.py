@@ -39,8 +39,10 @@ def run(L: int, dtype):
     warm_s, sol = solve()          # includes jit compiles
     solve_s, sol = solve()         # warm caches
     n_dofs = sol.z.size
+    its = int(sol.SOL_main["its"].sum())
     return dict(setup_s=setup_s, warm_s=warm_s, solve_s=solve_s,
-                n_dofs=n_dofs, finite=bool(np.all(np.isfinite(sol.z))))
+                n_dofs=n_dofs, newton_its=its,
+                finite=bool(np.all(np.isfinite(sol.z))))
 
 
 def main():
@@ -61,6 +63,7 @@ def main():
         "vs_baseline": round(vs, 3) if vs else None,
         "extra": {"warm_s": round(r["warm_s"], 3),
                   "setup_s": round(r["setup_s"], 3),
+                  "newton_its": r["newton_its"],
                   "finite": r["finite"],
                   "baseline_A40_s": base},
     }))
