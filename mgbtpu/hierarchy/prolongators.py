@@ -149,21 +149,26 @@ def amg_ruge_stuben(*, theta: float = 0.25, max_coarse: int = 2,
     """
 
     def prolongator(K: sp.spmatrix):
+        from ..native import rs_level_native
+
         A = sp.csr_matrix(K, dtype=np.float64)
         Ps = []
         while A.shape[0] > max_coarse and len(Ps) < max_levels:
-            S = _strength_graph(A, theta)
-            is_C = _cf_split(S)
-            nC = int(is_C.sum())
-            if nC == 0 or nC >= A.shape[0]:
-                # no coarsening progress: force something smaller or stop
-                if A.shape[0] <= max_coarse or nC == 0:
-                    break
-                keep = np.zeros(A.shape[0], dtype=bool)
-                keep[:: 2] = True
-                is_C = keep
+            P = rs_level_native(A, theta)   # C++ fast path (None = fallback)
+            if P is None:
+                S = _strength_graph(A, theta)
+                is_C = _cf_split(S)
                 nC = int(is_C.sum())
-            P = _direct_interpolation(A, S, is_C)
+                if nC == 0 or nC >= A.shape[0]:
+                    # no coarsening progress: force something smaller or stop
+                    if A.shape[0] <= max_coarse or nC == 0:
+                        break
+                    keep = np.zeros(A.shape[0], dtype=bool)
+                    keep[:: 2] = True
+                    is_C = keep
+                P = _direct_interpolation(A, S, is_C)
+            if P.shape[1] >= A.shape[0]:
+                break
             Ps.append(P)
             A = (P.T @ A @ P).tocsr()
             A.eliminate_zeros()
