@@ -24,6 +24,12 @@ from .solver import (assemble, mgb_solve, MGBProblem, MGBSOL,
                      linesearch_backtracking, linesearch_illinois,
                      stopping_exact, stopping_inexact,
                      default_D, default_f, default_g, default_idx)
+from .solver.parabolic import parabolic_solve, ParabolicSOL
+from .frontends import gmsh_import
+from .frontends.model import Model
+from .parallel import make_mesh
+from .utils.checkpoint import save_solution, load_solution, warm_start_grid
+from . import zoo
 
 __version__ = "0.1.0"
 
@@ -39,4 +45,6 @@ __all__ = [
     "linesearch_backtracking", "linesearch_illinois",
     "stopping_exact", "stopping_inexact",
     "default_D", "default_f", "default_g", "default_idx",
+    "parabolic_solve", "ParabolicSOL", "gmsh_import", "Model", "make_mesh",
+    "save_solution", "load_solution", "warm_start_grid", "zoo",
 ]

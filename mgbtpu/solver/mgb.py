@@ -90,11 +90,12 @@ def flat_weights(w):
 class ProblemKernels:
     """Lazy per-level jitted solvers for one (AMGSystem, barrier-triple)."""
 
-    def __init__(self, M: AMGSystem, Fs, line_search, dtype):
+    def __init__(self, M: AMGSystem, Fs, line_search, dtype, mesh=None):
         self.M = M
         self.Fs = Fs
         self.line_search = line_search
         self.dtype = dtype
+        self.mesh = mesh
         self.p = M.geometry.x.shape[0]
         self._ops = {}
         # double-float reductions + df64 objective on the float32 (TPU) path:
@@ -118,9 +119,15 @@ class ProblemKernels:
 
     def _fargs(self, l, z, wc, bw, args):
         Dz0 = self.M.apply_D_full(z).astype(self.dtype)
-        return (self.ops(l), jnp.asarray(Dz0),
-                jnp.asarray(wc.astype(self.dtype)),
-                jnp.asarray(bw.astype(self.dtype))) + tuple(args)
+        fa = (self.ops(l), jnp.asarray(Dz0),
+              jnp.asarray(wc.astype(self.dtype)),
+              jnp.asarray(bw.astype(self.dtype))) + tuple(args)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_fargs
+
+            ops = self.ops(l)
+            fa = shard_fargs(self.mesh, fa, ops.n_nodes, ops.N)
+        return fa
 
     def run_newton(self, l, z, wc, bw, args, *, maxit, stopping):
         """Newton in the level-l search space from s0 = 0."""
@@ -143,14 +150,15 @@ class ProblemKernels:
         return np.asarray(g), np.asarray(H)
 
 
-def _kernels_for(M: AMGSystem, Fs, line_search, dtype) -> ProblemKernels:
+def _kernels_for(M: AMGSystem, Fs, line_search, dtype,
+                 mesh=None) -> ProblemKernels:
     cache = getattr(M, "_kernel_cache", None)
     if cache is None:
         cache = {}
         M._kernel_cache = cache
-    key = (tuple(map(id, Fs)), line_search, np.dtype(dtype).name)
+    key = (tuple(map(id, Fs)), line_search, np.dtype(dtype).name, id(mesh))
     if key not in cache:
-        cache[key] = ProblemKernels(M, Fs, line_search, dtype)
+        cache[key] = ProblemKernels(M, Fs, line_search, dtype, mesh=mesh)
     return cache[key]
 
 
@@ -400,7 +408,8 @@ def mgb_driver(Mpair, f_grid, g_grid, Q: Convex, *, tol=None, t=0.1,
                t_feasibility=None, feasibility_Rmax=None, maxit=10000,
                kappa=10.0, early_stop=None, max_newton=None,
                stopping_criterion=None, line_search=None, finalize="default",
-               barrier_nodes=None, progress=None, log=None, dtype=None):
+               barrier_nodes=None, progress=None, log=None, dtype=None,
+               mesh=None):
     M1, M2 = Mpair
     dtype = dtype or np.asarray(f_grid).dtype
     epsT = dtype_eps(dtype)
@@ -437,7 +446,7 @@ def mgb_driver(Mpair, f_grid, g_grid, Q: Convex, *, tol=None, t=0.1,
         raise ValueError(f"f grid must be ({m}, {nD}), got {c0.shape}")
     z2 = z0.T.reshape(-1).copy()            # stacked (nu*m,), component-major
 
-    kern1 = _kernels_for(M1, Q.barrier, line_search, dtype)
+    kern1 = _kernels_for(M1, Q.barrier, line_search, dtype, mesh=mesh)
     kern1.Q_args = tuple(Q.args)
 
     SOL_feasibility = None
@@ -456,7 +465,7 @@ def mgb_driver(Mpair, f_grid, g_grid, Q: Convex, *, tol=None, t=0.1,
         c1[:, nD] = 1.0
         z1 = np.concatenate([z2, u0.astype(dtype)])
         feas_fs = make_feasibility_fs(Q.cobarrier, nD + 1)
-        kern2 = _kernels_for(M2, feas_fs, line_search, dtype)
+        kern2 = _kernels_for(M2, feas_fs, line_search, dtype, mesh=mesh)
         Rbox = max(10.0, 10.0 * float(np.abs(z2).max()))
         Rmax = max(float(feasibility_Rmax), Rbox)
 

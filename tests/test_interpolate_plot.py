@@ -48,3 +48,23 @@ def test_plot_2d():
     g = fem2d_P2()
     z = g.xflat()[:, 0]
     assert plot(g, z) is not None
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from mgbtpu.utils.checkpoint import (load_solution, save_solution,
+                                         warm_start_grid)
+    from mgbtpu import amg, assemble, fem1d, mgb_solve
+    import numpy as np
+
+    mg = amg(fem1d(nodes=np.linspace(-1, 1, 3)))
+    prob = assemble(mg, p=1.5)
+    sol = mgb_solve(prob)
+    p = str(tmp_path / "sol.npz")
+    save_solution(p, sol)
+    back = load_solution(p)
+    np.testing.assert_array_equal(back.z, sol.z)
+    assert "mgb_solve" in back.log
+    # warm start: re-solving from the solution grid is fast and matches
+    prob2 = assemble(mg, p=1.5, g_grid=warm_start_grid(sol))
+    sol2 = mgb_solve(prob2)
+    assert np.abs(sol2.z - sol.z).max() < 1e-5
