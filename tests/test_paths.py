@@ -76,3 +76,12 @@ def test_prolongator_independence():
     z_sa = mgb_solve(assemble(
         amg(g, prolongator=amg_smoothed_aggregation(max_coarse=2)), p=1.5)).z
     assert np.abs(z_rs - z_sa).max() < 1e-6
+
+
+def test_illinois_line_search():
+    from mgbtpu import linesearch_illinois, mgb_solve as solve
+
+    gold = np.array([[-1, 0], [-1, 0], [-1, 2], [1, 2.0]])
+    sol = solve(assemble(amg(fem1d(nodes=np.linspace(-1, 1, 3))), p=1.0),
+                line_search=linesearch_illinois())
+    assert np.linalg.norm(sol.z - gold) < 1e-6
