@@ -33,7 +33,9 @@ except Exception:
 # Persistent compilation cache: the jitted Newton programs are large (nested
 # while loops + factorizations) and TPU compilation through the remote
 # tunnel is minutes per level; cache compiled executables across processes.
-if not os.environ.get("MGBTPU_NO_COMPILE_CACHE"):
+_tpu_env = ("axon" in os.environ.get("JAX_PLATFORMS", "")
+            or os.environ.get("PALLAS_AXON_POOL_IPS"))
+if not os.environ.get("MGBTPU_NO_COMPILE_CACHE") and _tpu_env:
     try:  # pragma: no cover - environment dependent
         jax.config.update(
             "jax_compilation_cache_dir",

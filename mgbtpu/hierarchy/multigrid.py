@@ -144,7 +144,8 @@ class AMGSystem:
     Reference ``AMG`` struct + ``amg_helper`` (``src/multigrid.jl:278-512``).
     """
 
-    def __init__(self, geometry, x, w, R_fine, D_fine, nu, state_variables, D):
+    def __init__(self, geometry, x, w, R_fine, D_fine, nu, state_variables, D,
+                 T_fine=None):
         self.geometry = geometry
         self.x = x
         self.w = w
@@ -153,6 +154,11 @@ class AMGSystem:
         self.nu = nu
         self.state_variables = state_variables
         self.D = D
+        # T_fine[l]: level-l -> level-(l+1) coefficient transfer (stacked
+        # over components), satisfying R_fine[l] == R_fine[l+1] @ T_fine[l];
+        # None entries when a subspace is not nested. Used by the multigrid
+        # V-cycle preconditioner of the large-level Newton solves.
+        self.T_fine = T_fine if T_fine is not None else [None] * (len(R_fine) - 1)
 
     @property
     def depth(self):
@@ -195,6 +201,17 @@ def amg_helper(mg: MultiGrid, state_variables, D) -> AMGSystem:
     L = len(mg.R[state_variables[0][1]])
     R_fine = [sp.block_diag([mg.R[s][l] for _, s in state_variables],
                             format="csr") for l in range(L)]
+    T_fine = []
+    for l in range(L - 1):
+        parts = []
+        ok = True
+        for _, s in state_variables:
+            Ts = (mg.transfers or {}).get(s)
+            if Ts is None or l >= len(Ts) or Ts[l] is None:
+                ok = False
+                break
+            parts.append(Ts[l])
+        T_fine.append(sp.block_diag(parts, format="csr") if ok else None)
     comp_of = {name: k for k, (name, _) in enumerate(state_variables)}
     D_fine = []
     for name, opsym in D:
@@ -206,7 +223,8 @@ def amg_helper(mg: MultiGrid, state_variables, D) -> AMGSystem:
                              f"available: {sorted(ops)}")
         D_fine.append((ops[opsym], comp_of[name]))
     return AMGSystem(geometry, x, w, R_fine, D_fine, nu,
-                     state_variables, [(str(a), str(b)) for a, b in D])
+                     state_variables, [(str(a), str(b)) for a, b in D],
+                     T_fine=T_fine)
 
 
 def prepare_amg(mg: MultiGrid, *, state_variables, D):

@@ -55,32 +55,40 @@ def make_level_fns(Fs):
         return ops.apply_Gt(y)
 
     def f2(s, ops, Dz0, wc, bw, *args):
+        from .levelops import GramHessian
+
         Dz = Dz0 + ops.apply_G(s)
         hv = jax.vmap(F2)(*args, Dz)
         Y = jnp.where(bw[:, None, None] != 0, bw[:, None, None] * hv, 0.0)
+        if ops.pcg_ctx is not None:
+            # large level: matrix-free Gram Hessian, solved by multigrid-
+            # preconditioned CG (no dense factorization at this size)
+            return GramHessian(ops=ops, Lnode=node_factors(Y), ctx=ops.pcg_ctx)
         if not ops.dd:
             return ops.assemble_dense(Y)
-        # float32 path: Gram-form assembly. Per-node Cholesky factors of the
-        # (PSD) barrier Hessian blocks, with a per-node jitter ladder sized
-        # to the block's own f32 evaluation noise — the assembled H is then
-        # PSD by construction instead of indefinite at the ~1e-3 level.
-        eps = jnp.finfo(Y.dtype).eps
-        scale = jnp.max(jnp.abs(Y), axis=(1, 2))
-        eye = jnp.eye(Y.shape[1], dtype=Y.dtype)
-        L = None
-        for c in (8.0, 1024.0):
-            Lc = jnp.linalg.cholesky(Y + (c * eps) * scale[:, None, None] * eye)
-            if L is None:
-                L = Lc
-            else:
-                ok = jnp.all(jnp.isfinite(L), axis=(1, 2))
-                L = jnp.where(ok[:, None, None], L, Lc)
-        # a still-failing node (genuinely indefinite evaluation) contributes
-        # its absolute-diagonal surrogate instead of NaN
-        ok = jnp.all(jnp.isfinite(L), axis=(1, 2))
-        diag_sqrt = jnp.sqrt(jnp.abs(
-            jnp.diagonal(Y, axis1=1, axis2=2)))[:, :, None] * eye
-        L = jnp.where(ok[:, None, None], L, diag_sqrt)
-        return ops.assemble_gram(L)
+        # float32 path: dense Gram-form assembly — PSD by construction
+        # instead of indefinite at the ~1e-3 level from f32 accumulation
+        return ops.assemble_gram(node_factors(Y))
 
     return f0, f1, f2
+
+
+def node_factors(Y):
+    """Per-node lower Cholesky factors of the (PSD) barrier Hessian blocks,
+    with a jitter ladder sized to each block's own evaluation noise; a
+    still-failing node contributes its absolute-diagonal surrogate."""
+    eps = jnp.finfo(Y.dtype).eps
+    scale = jnp.max(jnp.abs(Y), axis=(1, 2))
+    eye = jnp.eye(Y.shape[1], dtype=Y.dtype)
+    L = None
+    for c in (8.0, 1024.0):
+        Lc = jnp.linalg.cholesky(Y + (c * eps) * scale[:, None, None] * eye)
+        if L is None:
+            L = Lc
+        else:
+            ok = jnp.all(jnp.isfinite(L), axis=(1, 2))
+            L = jnp.where(ok[:, None, None], L, Lc)
+    ok = jnp.all(jnp.isfinite(L), axis=(1, 2))
+    diag_sqrt = jnp.sqrt(jnp.abs(
+        jnp.diagonal(Y, axis1=1, axis2=2)))[:, :, None] * eye
+    return jnp.where(ok[:, None, None], L, diag_sqrt)

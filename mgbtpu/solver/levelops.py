@@ -37,6 +37,7 @@ class PanelOps:
     N: int
     C: int
     dd: bool = False       # double-float reductions (the float32/TPU path)
+    pcg_ctx: object = None  # PCGContext for levels above the dense threshold
 
     def apply_G(self, s):
         """(n_J,) level coefficients -> (n_nodes, nD) operator values."""
@@ -126,6 +127,104 @@ class PanelOps:
 
         hi, lo = df64.dd_sum_f(vals, axis=0)
         return hi + lo
+
+
+@pytree_dataclass(static=("n_rows", "n_cols", "K"))
+class EllOp:
+    """Row-padded (ELL) sparse matrix: matvec = gather + small reduction,
+    transpose-matvec = scatter-add. Used for hierarchy transfer operators in
+    the V-cycle preconditioner (TPU-friendly: static shapes, no CSR loops).
+    """
+    idx: jnp.ndarray    # (n_rows, K) int32 column ids, padded by repeat
+    val: jnp.ndarray    # (n_rows, K), padding entries are 0
+    n_rows: int
+    n_cols: int
+    K: int
+
+    def mv(self, x):
+        return (self.val * x[self.idx]).sum(axis=1)
+
+    def rmv(self, y):
+        contrib = self.val * y[:, None]
+        return jnp.zeros((self.n_cols,), dtype=y.dtype).at[self.idx].add(contrib)
+
+
+def build_ell(A: sp.spmatrix, dtype) -> EllOp:
+    A = sp.csr_matrix(A)
+    n, m = A.shape
+    counts = np.diff(A.indptr)
+    K = max(int(counts.max()) if n else 1, 1)
+    idx = np.zeros((n, K), dtype=np.int64)
+    val = np.zeros((n, K), dtype=dtype)
+    for i in range(n):
+        lo, hi = A.indptr[i], A.indptr[i + 1]
+        c = hi - lo
+        idx[i, :c] = A.indices[lo:hi]
+        val[i, :c] = A.data[lo:hi]
+        if c:
+            idx[i, c:] = A.indices[hi - 1]
+    return EllOp(idx=jnp.asarray(idx, jnp.int32), val=jnp.asarray(val),
+                 n_rows=n, n_cols=m, K=K)
+
+
+@pytree_dataclass(static=("n_levels", "dense_level"))
+class PCGContext:
+    """Per-level data for the multigrid-preconditioned CG Newton solve of a
+    level too large to factorize densely.
+
+    ``coarse_ops[l]`` are the panel operators of hierarchy level l
+    (0..n_levels-1, coarse to just-below-fine); ``transfers[l]`` maps level-l
+    coefficients to level-(l+1) coefficients (the fine end maps into the
+    solve level). Levels <= dense_level get dense Cholesky coarse solves;
+    the rest Jacobi-smooth with matrix-free Gram matvecs.
+    """
+    coarse_ops: tuple       # tuple of PanelOps
+    transfers: tuple        # tuple of EllOp, len == n_levels
+    n_levels: int
+    dense_level: int
+
+
+@pytree_dataclass(static=())
+class GramHessian:
+    """Matrix-free Hessian in Gram form: H = (L^T P)^T (L^T P); carries the
+    level ops, per-node factors, and the V-cycle context. Returned by the
+    barrier f2 on levels above the dense threshold; the Newton solve
+    dispatches on this type to PCG."""
+    ops: PanelOps
+    Lnode: jnp.ndarray      # (n_nodes, nD, nD) lower factors of bw*F2
+    ctx: PCGContext
+
+    def mv(self, v):
+        return gram_matvec(self.ops, self.Lnode, v)
+
+    def diag(self):
+        return gram_diag(self.ops, self.Lnode)
+
+
+def gram_factor_apply(ops: PanelOps, Lnode, v):
+    """B v with B[e,p,i,c] = sum_j L[node,j,i] panels[j,e,p,c]: (n_J,) ->
+    (N, p, nD)."""
+    vg = v[ops.cols]                                        # (N, C)
+    Lr = Lnode.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    Pv = jnp.einsum("kNpc,Nc->Npk", ops.panels, vg)         # (N, p, j)
+    return jnp.einsum("Npji,Npj->Npi", Lr, Pv)
+
+
+def gram_matvec(ops: PanelOps, Lnode, v):
+    """H v = B^T (B v), fully matrix-free (two batched einsums + scatter)."""
+    Bv = gram_factor_apply(ops, Lnode, v)                   # (N, p, i)
+    Lr = Lnode.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    Y = jnp.einsum("Npji,Npi->Npj", Lr, Bv)                 # back through L
+    contrib = jnp.einsum("kNpc,Npk->Nc", ops.panels, Y)
+    return jnp.zeros((ops.n_J,), dtype=v.dtype).at[ops.cols].add(contrib)
+
+
+def gram_diag(ops: PanelOps, Lnode):
+    """diag(H) = sum over (e,p,i) of B[e,p,i,c]^2."""
+    Lr = Lnode.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    B = jnp.einsum("jNpc,Npji->Npic", ops.panels, Lr)
+    contrib = (B * B).sum(axis=(1, 2))                      # (N, C)
+    return jnp.zeros((ops.n_J,), dtype=Lnode.dtype).at[ops.cols].add(contrib)
 
 
 def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,

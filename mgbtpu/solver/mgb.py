@@ -98,6 +98,7 @@ class ProblemKernels:
         self.mesh = mesh
         self.p = M.geometry.x.shape[0]
         self._ops = {}
+        self._ops_solve = {}
         # double-float reductions + df64 objective on the float32 (TPU) path:
         # plain f32 accumulation makes the assembled Hessian numerically
         # indefinite and floors the Newton decrement above its tolerance
@@ -108,14 +109,70 @@ class ProblemKernels:
         F0 = Fs[0]
         self._node_f0 = jax.jit(lambda args, Dz: jax.vmap(F0)(*args, Dz))
         _, _f1, _f2 = self.fns
-        self._grad_hess = jax.jit(lambda s0, *fa: (_f1(s0, *fa), _f2(s0, *fa)))
 
-    def ops(self, l):
+        def _matched(s0, wc0, wcc, ops, Dz0, bw, *args):
+            from .levelops import GramHessian
+            from .newton import (equilibrated_solve, gram_cholesky_solve,
+                                 pcg_solve)
+
+            fa0 = (ops, Dz0, wc0, bw) + args
+            fac = (ops, Dz0, wcc, bw) + args
+            g_phi = _f1(s0, *fa0)
+            g_c = _f1(s0, *fac) - g_phi
+            H = _f2(s0, *fac)
+            if isinstance(H, GramHessian):
+                solve = pcg_solve
+            else:
+                solve = gram_cholesky_solve if self.dd else equilibrated_solve
+            n_phi = solve(H, g_phi)
+            n_c = solve(H, g_c)
+            return g_c @ n_c, g_phi @ n_c + g_c @ n_phi
+
+        self._matched = jax.jit(_matched)
+
+    # Levels above DENSE_MAX coefficients solve by multigrid-preconditioned
+    # CG (matrix-free Gram Hessian) instead of a dense factorization; the
+    # V-cycle's dense base is the largest level below DENSE_BASE.
+    DENSE_MAX = int(__import__("os").environ.get("MGBTPU_DENSE_MAX", 6144))
+    DENSE_BASE = int(__import__("os").environ.get("MGBTPU_DENSE_BASE", 3072))
+
+    def _plain_ops(self, l):
         if l not in self._ops:
             self._ops[l] = build_panel_ops(self.M.D_fine, self.M.nu,
                                            self.M.R_fine[l], self.p,
                                            self.dtype, dd=self.dd)
         return self._ops[l]
+
+    def ops(self, l):
+        if l in self._ops_solve:
+            return self._ops_solve[l]
+        base = self._plain_ops(l)
+        if base.n_J <= self.DENSE_MAX:
+            self._ops_solve[l] = base
+            return base
+        import dataclasses
+
+        from .levelops import PCGContext, build_ell
+
+        transfers = []
+        for j in range(l):
+            T = self.M.T_fine[j]
+            if T is None:
+                # a non-nested subspace: no coefficient transfers, so no
+                # V-cycle; fall back to the dense path (may be large)
+                self._ops_solve[l] = base
+                return base
+            transfers.append(build_ell(T.astype(self.dtype), self.dtype))
+        dense_level = 0
+        for j in range(l):
+            if self._plain_ops(j).n_J <= self.DENSE_BASE:
+                dense_level = j
+        ctx = PCGContext(coarse_ops=tuple(self._plain_ops(j) for j in range(l)),
+                         transfers=tuple(transfers),
+                         n_levels=l, dense_level=dense_level)
+        out = dataclasses.replace(base, pcg_ctx=ctx)
+        self._ops_solve[l] = out
+        return out
 
     def _fargs(self, l, z, wc, bw, args):
         Dz0 = self.M.apply_D_full(z).astype(self.dtype)
@@ -378,19 +435,20 @@ def _matched_t(kern: ProblemKernels, z, c, t_default, args, *, w, bw, log):
     """Barrier parameter whose central point z best approximates, capped at
     t_default: minimize the quadratic lambda_t^2 = (g_phi + t g_c)' H^-1
     (g_phi + t g_c) — two Hessian solves. Reference ``src/mgb.jl:289-330``."""
+    import jax.numpy as jnp
+
     L = kern.M.depth
-    zero_wc = np.zeros((len(w), c.shape[1]), dtype=w.dtype)
-    g_phi, H = kern.level_grad_hess(L - 1, z, zero_wc, bw, args)
-    g_all, _ = kern.level_grad_hess(L - 1, z, w[:, None] * c, bw, args)
-    g_c = g_all - g_phi
-    try:
-        n_phi = np.linalg.solve(H, g_phi)
-        n_c = np.linalg.solve(H, g_c)
-    except np.linalg.LinAlgError:
-        return t_default
-    d = float(g_c @ n_c)
-    b = float(g_phi @ n_c + g_c @ n_phi)
-    if not (d > 0):
+    l = L - 1
+    ops = kern.ops(l)
+    dtype = kern.dtype
+    Dz0 = kern.M.apply_D_full(z).astype(dtype)
+    s0 = jnp.zeros((ops.n_J,), dtype=dtype)
+    zero_wc = jnp.zeros((len(w), c.shape[1]), dtype=dtype)
+    wcc = jnp.asarray((w[:, None] * c).astype(dtype))
+    d, b = kern._matched(s0, zero_wc, wcc, ops, jnp.asarray(Dz0),
+                         jnp.asarray(bw.astype(dtype)), *args)
+    d, b = float(d), float(b)
+    if not (np.isfinite(d) and np.isfinite(b) and d > 0):
         return t_default
     tstar = -b / (2 * d)
     if not (np.isfinite(tstar) and tstar > 0):

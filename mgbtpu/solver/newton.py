@@ -165,6 +165,110 @@ def regularized_direction(H, g):
     return out
 
 
+def _tree_finite(t):
+    import jax
+
+    leaves = [x for x in jax.tree_util.tree_leaves(t)
+              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+    if not leaves:
+        return jnp.asarray(True)
+    flags = [jnp.all(jnp.isfinite(x)) for x in leaves]
+    out = flags[0]
+    for f in flags[1:]:
+        out = out & f
+    return out
+
+
+def pcg_solve(H, g, *, rel_tol=1e-3, maxiter=80, smooth_omega=0.7):
+    """Multigrid-preconditioned CG for a matrix-free GramHessian level.
+
+    The V-cycle reuses the *same* hierarchy the barrier method searches over
+    (the reference's BASELINE north star: replace the sparse direct solver
+    with a V-cycle built from the AMG prolongations): coarse levels assemble
+    dense Gram Hessians (Cholesky base solves), intermediate levels damp-
+    Jacobi-smooth with matrix-free Gram matvecs, transfers are the
+    coefficient-level ELL operators. CG from x0=0 keeps g.x > 0 at every
+    iterate, so the decrement test never sees a fabricated lambda^2 <= 0.
+    """
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    from ..ops import df64
+    from .levelops import gram_diag, gram_matvec
+
+    ops = H.ops
+    ctx = H.ctx
+    Lnode = H.Lnode
+    dtype = g.dtype
+    eps = float(jnp.finfo(dtype).eps)
+
+    # per-level data for this Newton iterate
+    dense_chos = []
+    for l in range(ctx.dense_level + 1):
+        Hl = ctx.coarse_ops[l].assemble_gram(Lnode)
+        d = jnp.sqrt(jnp.abs(jnp.diagonal(Hl)))
+        dinv = jnp.where(d > 0, 1.0 / d, 1.0)
+        Hs = Hl * (dinv[:, None] * dinv[None, :])
+        cf = cho_factor(Hs + jnp.asarray(16 * eps, dtype)
+                        * jnp.eye(Hl.shape[0], dtype=dtype))
+        dense_chos.append((cf, dinv))
+    diags = {}
+    for l in range(ctx.dense_level + 1, ctx.n_levels):
+        diags[l] = gram_diag(ctx.coarse_ops[l], Lnode)
+    diag_top = gram_diag(ops, Lnode)
+
+    def level_mv(l, v):
+        o = ops if l == ctx.n_levels else ctx.coarse_ops[l]
+        return gram_matvec(o, Lnode, v)
+
+    def cycle(l, r):
+        if l <= ctx.dense_level:
+            cf, dinv = dense_chos[l]
+            return dinv * cho_solve(cf, dinv * r)
+        d = diag_top if l == ctx.n_levels else diags[l]
+        dinv = jnp.where(d > 0, smooth_omega / d, 0.0)
+        x = dinv * r
+        resid = r - level_mv(l, x)
+        T = ctx.transfers[l - 1]
+        xc = cycle(l - 1, T.rmv(resid))
+        x = x + T.mv(xc)
+        x = x + dinv * (r - level_mv(l, x))
+        return x
+
+    def M(r):
+        return cycle(ctx.n_levels, r)
+
+    def dot(a, b):
+        hi, lo = df64.dd_dot(a, b)
+        return hi + lo
+
+    b = g
+    bnorm = jnp.linalg.norm(b)
+    tol = rel_tol * bnorm
+
+    def cond(carry):
+        x, r, z, p2, rz, k = carry
+        return (jnp.linalg.norm(r) > tol) & (k < maxiter)
+
+    def body(carry):
+        x, r, z, p2, rz, k = carry
+        Hp = H.mv(p2)
+        pHp = dot(p2, Hp)
+        alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
+        x = x + alpha * p2
+        r = r - alpha * Hp
+        z = M(r)
+        rz2 = dot(r, z)
+        beta = jnp.where(rz != 0, rz2 / rz, 0.0)
+        p2 = z + beta * p2
+        return (x, r, z, p2, rz2, k + 1)
+
+    z0 = M(b)
+    x0 = jnp.zeros_like(b)
+    init = (x0, b, z0, z0, dot(b, z0), jnp.asarray(0, jnp.int32))
+    x, r, _, _, _, k = lax.while_loop(cond, body, init)
+    return x
+
+
 def stopping_exact(theta):
     """Stop when the objective AND the gradient norm both stagnate."""
     return ("exact", float(theta), -1.0)
@@ -295,7 +399,12 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
     """
     ls_kind, ls_beta, ls_c1 = line_search
     if solve is None:
-        solve = gram_cholesky_solve if dd else equilibrated_solve
+        def solve(H, g):
+            from .levelops import GramHessian
+
+            if isinstance(H, GramHessian):
+                return pcg_solve(H, g)
+            return (gram_cholesky_solve if dd else equilibrated_solve)(H, g)
     Y = _DDY if dd else _PlainY
 
     def dot(a, b):
@@ -323,10 +432,12 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
 
         def body(carry):
             x, y, g, ymin, gmin, incmin, k, status = carry
+            from .levelops import GramHessian
+
             H = f2(x, *fargs)
             n_dir = solve(H, g)
             inc = dot(g, n_dir)
-            if not dd:
+            if not dd and not isinstance(H, GramHessian):
                 # lambda^2 <= 0 away from the objective roundoff floor: the
                 # Hessian solve failed (iterate pinned to the barrier wall).
                 # Retry once with the regularized fallback direction; its
