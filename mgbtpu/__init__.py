@@ -20,7 +20,7 @@ from .discretize import (fem1d, fem2d, fem3d, fem2d_P1, fem2d_P2,
 from .hierarchy import (amg, geometric_mg, subdivide, find_boundary,
                         amg_ruge_stuben, amg_smoothed_aggregation,
                         prepare_amg, MultiGrid)
-from .solver import (assemble, mgb_solve, MGBProblem, MGBSOL,
+from .solver import (assemble, mgb_solve, mgb_cleanup, MGBProblem, MGBSOL,
                      linesearch_backtracking, linesearch_illinois,
                      stopping_exact, stopping_inexact,
                      default_D, default_f, default_g, default_idx)
@@ -41,7 +41,7 @@ __all__ = [
     "spectral1d", "spectral2d", "tensor_dofmap", "Geometry",
     "amg", "geometric_mg", "subdivide", "find_boundary",
     "amg_ruge_stuben", "amg_smoothed_aggregation", "prepare_amg", "MultiGrid",
-    "assemble", "mgb_solve", "MGBProblem", "MGBSOL",
+    "assemble", "mgb_solve", "mgb_cleanup", "MGBProblem", "MGBSOL",
     "linesearch_backtracking", "linesearch_illinois",
     "stopping_exact", "stopping_inexact",
     "default_D", "default_f", "default_g", "default_idx",

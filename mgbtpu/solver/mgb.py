@@ -665,14 +665,18 @@ def assemble(mg, *, dim=None, state_variables=None, D=None, x=None, p=1.0,
                       np.asarray(g_grid, dtype=dtype), Q, geom)
 
 
-def mgb_solve(prob: MGBProblem, *, verbose=False, logfile=None,
+def mgb_solve(prob: MGBProblem, *, verbose=False, logfile=None, device=None,
               **kwargs) -> MGBSOL:
     """Solve an assembled problem; returns an MGBSOL (host arrays).
 
     Keyword arguments mirror the reference's solver controls: tol, t,
     t_feasibility, feasibility_Rmax, maxit, kappa, early_stop, max_newton,
-    stopping_criterion, line_search, finalize, barrier_nodes, progress.
+    stopping_criterion, line_search, finalize, barrier_nodes, progress,
+    mesh (multi-chip sharding), device ("cpu"/"tpu"/a jax.Device; default =
+    the default backend — the reference's device= CPU/CUDA selection).
     """
+    import contextlib
+
     logger = Logger(stream=logfile)
     progress = kwargs.pop("progress", None)
     if verbose and progress is None:
@@ -683,10 +687,35 @@ def mgb_solve(prob: MGBProblem, *, verbose=False, logfile=None,
             if pct > state["last"]:
                 state["last"] = pct
                 print(f"\rmgb_solve: {pct:3d}%", end="", flush=True)
-    logger("mgb_solve", "device = ", jax.default_backend())
-    SOL = mgb_driver(prob.M, prob.f_grid, prob.g_grid, prob.Q,
-                     progress=progress, log=logger, **kwargs)
+    if isinstance(device, str):
+        device = jax.devices(device)[0]
+    ctx = jax.default_device(device) if device is not None \
+        else contextlib.nullcontext()
+    with ctx:
+        logger("mgb_solve", "device = ",
+               device if device is not None else jax.default_backend())
+        SOL = mgb_driver(prob.M, prob.f_grid, prob.g_grid, prob.Q,
+                         progress=progress, log=logger, **kwargs)
     if verbose and progress is not None:
         print()
     return MGBSOL(SOL["z"], SOL["SOL_feasibility"], SOL["SOL_main"],
                   logger.text(), prob.geometry)
+
+
+def mgb_cleanup(obj=None):
+    """Flush cached per-problem kernels/plans (the reference's mgb_cleanup:
+    plan caches live per hierarchy; jit executables stay in JAX's cache).
+
+    Pass an MGBProblem, an AMGSystem, or nothing (clears JAX's caches too).
+    """
+    targets = []
+    if obj is None:
+        jax.clear_caches()
+        return
+    if isinstance(obj, MGBProblem):
+        targets = list(obj.M)
+    elif isinstance(obj, AMGSystem):
+        targets = [obj]
+    for M in targets:
+        if hasattr(M, "_kernel_cache"):
+            M._kernel_cache.clear()

@@ -179,7 +179,7 @@ def _tree_finite(t):
     return out
 
 
-def pcg_solve(H, g, *, rel_tol=1e-3, maxiter=80, smooth_omega=0.7):
+def pcg_solve(H, g, *, rel_tol=1e-5, maxiter=150, smooth_omega=0.7):
     """Multigrid-preconditioned CG for a matrix-free GramHessian level.
 
     The V-cycle reuses the *same* hierarchy the barrier method searches over
