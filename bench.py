@@ -19,6 +19,12 @@ os.environ.setdefault("MGBTPU_NO_X64", "1")
 import numpy as np
 
 
+def _enable_cache():
+    from mgbtpu._config import enable_compile_cache
+
+    enable_compile_cache()
+
+
 BASELINE_GPU = {4: 0.664, 5: 1.039, 6: 1.851, 7: 5.122}
 
 
@@ -46,6 +52,7 @@ def run(L: int, dtype):
 
 
 def main():
+    _enable_cache()
     import jax
 
     L = int(os.environ.get("MGB_BENCH_L", "5"))

@@ -33,13 +33,17 @@ except Exception:
 # Persistent compilation cache: the jitted Newton programs are large (nested
 # while loops + factorizations) and TPU compilation through the remote
 # tunnel is minutes per level; cache compiled executables across processes.
-_tpu_env = ("axon" in os.environ.get("JAX_PLATFORMS", "")
-            or os.environ.get("PALLAS_AXON_POOL_IPS"))
-if not os.environ.get("MGBTPU_NO_COMPILE_CACHE") and _tpu_env:
+def enable_compile_cache(path=None):
+    """Persistent compilation cache: the jitted Newton programs are large and
+    TPU compilation through the remote tunnel is slow; cache compiled
+    executables across processes. Opt-in (bench/graft entry call this on the
+    TPU path): a shared on-disk cache loaded into a CPU process compiled on
+    a different host can SIGILL."""
     try:  # pragma: no cover - environment dependent
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("MGBTPU_COMPILE_CACHE", "/tmp/mgbtpu_jaxcache"))
+            path or os.environ.get("MGBTPU_COMPILE_CACHE",
+                                   "/tmp/mgbtpu_jaxcache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
