@@ -85,3 +85,30 @@ def test_illinois_line_search():
     sol = solve(assemble(amg(fem1d(nodes=np.linspace(-1, 1, 3))), p=1.0),
                 line_search=linesearch_illinois())
     assert np.linalg.norm(sol.z - gold) < 1e-6
+
+
+def test_slit_domain_connectivity():
+    """Coincident-but-distinct nodes (slit) stay topologically separate when
+    t is supplied (reference test_connectivity.jl model)."""
+    from mgbtpu import tensor_dofmap
+
+    # two 1D elements sharing the point x=0 -- glued vs slit
+    K = np.empty((2, 2, 1))
+    K[:, 0, 0] = [-1.0, 0.0]
+    K[:, 1, 0] = [0.0, 1.0]
+    g_glued = fem1d(K=K)
+    assert g_glued.t.max() + 1 == 3        # dedup glues the middle node
+    t_slit = np.array([[0, 2], [1, 3]])
+    g_slit = fem1d(K=K, t=t_slit)
+    assert g_slit.t.max() + 1 == 4         # slit keeps 4 distinct nodes
+    # glued solve is continuous at 0; slit solve decouples the elements
+    from mgbtpu import amg, assemble, mgb_solve
+
+    def solve(g):
+        mg = amg(g)
+        return mgb_solve(assemble(mg, p=2.0), tol=1e-6).z[:, 0]
+
+    zg = solve(g_glued)
+    zs = solve(g_slit)
+    assert abs(zg[1] - zg[2]) < 1e-6       # same node value (glued)
+    assert np.isfinite(zs).all()
