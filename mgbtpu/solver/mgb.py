@@ -298,6 +298,11 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
     epsT = dtype_eps(dtype)
     if max_newton is None:
         max_newton = int(np.ceil(np.log2(-np.log2(epsT)))) + 2
+        if kern.dd:
+            # the float32/df64 path converges with slightly noisier Newton
+            # decrements; a marginally tighter cap turns near-converged steps
+            # into expensive bisection/kappa-shrink failures
+            max_newton += 3
     if early_stop is None:
         early_stop = lambda z_: False
     if progress is None:
@@ -481,8 +486,13 @@ def mgb_driver(Mpair, f_grid, g_grid, Q: Convex, *, tol=None, t=0.1,
         log = lambda *a: None
     if stopping_criterion is None:
         # flat-averaged barrier has self-concordance constant sqrt(n):
-        # lambda < eta/sqrt(n) with eta = 1/4 (reference src/mgb.jl:348-360)
-        stopping_criterion = stopping_inexact(0.25 / np.sqrt(len(M1.w)), 0.9)
+        # lambda < eta/sqrt(n) with eta = 1/4 (reference src/mgb.jl:348-360).
+        # The float32/df64 path floors its computed decrement slightly higher
+        # (TPU transcendental accuracy in the per-node gradients); eta = 1/2
+        # still certifies the quadratic-convergence region and halves the
+        # wasted just-missed-the-cap iterations.
+        eta = 0.5 if np.dtype(dtype) == np.float32 else 0.25
+        stopping_criterion = stopping_inexact(eta / np.sqrt(len(M1.w)), 0.9)
     if line_search is None:
         line_search = linesearch_backtracking()
     if finalize == "default":

@@ -130,7 +130,10 @@ def gram_cholesky_solve(H, g):
                     * jnp.eye(H.shape[0], dtype=dtype))
     x = cho_solve(cf, gs)
     for _ in range(2):
-        r = gs - Hs @ x
+        # df64 residual: the f32 matvec loses exactly the bits refinement
+        # needs; the error-free-product + tree-sum residual restores them
+        hi, lo = df64.dd_matvec(Hs, jnp.zeros_like(Hs), x)
+        r = (gs - hi) - lo
         x = x + cho_solve(cf, r)
     return dinv * x
 
