@@ -66,9 +66,6 @@ def _parse_msh(path):
     physnames = {}
     ent_phys = {}   # (dim, entity_tag) -> [physical ids]
 
-    def section(name):
-        return lines[i].strip() == f"${name}"
-
     n = len(lines)
     while i < n:
         s = lines[i].strip()

@@ -278,7 +278,6 @@ class Model:
             else:
                 slack = geom.discretization.default_slack_space()
                 sv.append((n, slack))
-        needs_amg = any(s.startswith("dirichlet_") for _, s in sv)
         if dirichlet_sets:
             from ..hierarchy.amg_build import amg as amg_build
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-from ..discretize.geometry import Geometry, unique_coords
+from ..discretize.geometry import Geometry
 from ..discretize.spectral import (Spectral1D, Spectral2D,
                                    find_boundary_spectral1d,
                                    find_boundary_spectral2d,

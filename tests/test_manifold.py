@@ -9,7 +9,7 @@ from mgbtpu import amg, assemble, fem1d, intersect, mgb_solve
 from mgbtpu.convex import convex_euclidian_power
 
 
-def _circle_gedirectly(n, tilt3d=False):
+def _circle_geometry(n, tilt3d=False):
     th = np.linspace(0, 2 * np.pi, n + 1)
     pts = np.stack([np.cos(th), np.sin(th)], axis=1)
     if tilt3d:
@@ -83,5 +83,3 @@ def test_embedding_independence():
     assert np.abs(u2 - u3).max() < 1e-5
 
 
-def _circle_geometry(n, tilt3d=False):
-    return _circle_gedirectly(n, tilt3d)
