@@ -156,13 +156,17 @@ def build_ell(A: sp.spmatrix, dtype) -> EllOp:
     K = max(int(counts.max()) if n else 1, 1)
     idx = np.zeros((n, K), dtype=np.int64)
     val = np.zeros((n, K), dtype=dtype)
-    for i in range(n):
-        lo, hi = A.indptr[i], A.indptr[i + 1]
-        c = hi - lo
-        idx[i, :c] = A.indices[lo:hi]
-        val[i, :c] = A.data[lo:hi]
-        if c:
-            idx[i, c:] = A.indices[hi - 1]
+    if A.nnz:
+        rows = np.repeat(np.arange(n), counts)
+        slots = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+        idx[rows, slots] = A.indices
+        val[rows, slots] = A.data
+        # pad rows by repeating their last valid column (keeps idx in range)
+        has = counts > 0
+        last = np.zeros(n, dtype=np.int64)
+        last[has] = A.indices[A.indptr[1:][has] - 1]
+        pad = np.arange(K)[None, :] >= counts[:, None]
+        idx[pad] = np.broadcast_to(last[:, None], (n, K))[pad]
     return EllOp(idx=jnp.asarray(idx, jnp.int32), val=jnp.asarray(val),
                  n_rows=n, n_cols=m, K=K)
 
@@ -264,11 +268,15 @@ def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
     offsets = np.zeros(N + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     cols = np.zeros((N, C), dtype=np.int64)
-    for e in range(N):
-        ce = ec[offsets[e]:offsets[e + 1], 1]
-        if len(ce):
-            cols[e, :len(ce)] = ce
-            cols[e, len(ce):] = ce[-1]          # pad by repeating (stays sorted)
+    if len(ec):
+        rows_f = ec[:, 0]
+        slots_f = np.arange(len(ec)) - offsets[rows_f]
+        cols[rows_f, slots_f] = ec[:, 1]
+        has = counts > 0
+        last = np.zeros(N, dtype=np.int64)
+        last[has] = ec[offsets[1:][has] - 1, 1]
+        pad = np.arange(C)[None, :] >= counts[:, None]
+        cols[pad] = np.broadcast_to(last[:, None], (N, C))[pad]  # sorted pad
     panels = np.zeros((nD, N, p, C), dtype=dtype)
     for k, Gk in enumerate(Gs):
         coo = Gk.tocoo()
