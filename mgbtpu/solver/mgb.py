@@ -132,9 +132,13 @@ class ProblemKernels:
 
     # Levels above DENSE_MAX coefficients solve by multigrid-preconditioned
     # CG (matrix-free Gram Hessian) instead of a dense factorization; the
-    # V-cycle's dense base is the largest level below DENSE_BASE.
+    # V-cycle's dense base is the largest level below DENSE_BASE. The cycle
+    # uses at most MAX_VCYCLE levels (transfer chains are composed host-side
+    # to skip intermediates): every extra level unrolls into the Newton jit
+    # and TPU remote-compile time grows superlinearly with program size.
     DENSE_MAX = int(__import__("os").environ.get("MGBTPU_DENSE_MAX", 6144))
     DENSE_BASE = int(__import__("os").environ.get("MGBTPU_DENSE_BASE", 3072))
+    MAX_VCYCLE = int(__import__("os").environ.get("MGBTPU_MAX_VCYCLE", 3))
 
     def _plain_ops(self, l):
         if l not in self._ops:
@@ -154,22 +158,36 @@ class ProblemKernels:
 
         from .levelops import PCGContext, build_ell
 
-        transfers = []
-        for j in range(l):
-            T = self.M.T_fine[j]
-            if T is None:
-                # a non-nested subspace: no coefficient transfers, so no
-                # V-cycle; fall back to the dense path (may be large)
-                self._ops_solve[l] = base
-                return base
-            transfers.append(build_ell(T.astype(self.dtype), self.dtype))
+        if any(self.M.T_fine[j] is None for j in range(l)):
+            # a non-nested subspace: no coefficient transfers, so no
+            # V-cycle; fall back to the dense path (may be large)
+            self._ops_solve[l] = base
+            return base
         dense_level = 0
         for j in range(l):
             if self._plain_ops(j).n_J <= self.DENSE_BASE:
                 dense_level = j
-        ctx = PCGContext(coarse_ops=tuple(self._plain_ops(j) for j in range(l)),
-                         transfers=tuple(transfers),
-                         n_levels=l, dense_level=dense_level)
+        # pick the V-cycle's level subset: the dense base, then at most
+        # MAX_VCYCLE-1 smoothing levels geometrically spaced up to l
+        chosen = [dense_level]
+        candidates = list(range(dense_level + 1, l))
+        keep = min(self.MAX_VCYCLE - 1, len(candidates))
+        if keep > 0:
+            pick = np.unique(np.linspace(0, len(candidates) - 1,
+                                         keep).round().astype(int))
+            chosen += [candidates[i] for i in pick]
+        # composed transfers between consecutive chosen levels (and up to l)
+        hops = chosen + [l]
+        transfers = []
+        for a, b in zip(hops[:-1], hops[1:]):
+            T = self.M.T_fine[a]
+            for j in range(a + 1, b):
+                T = self.M.T_fine[j] @ T
+            transfers.append(build_ell(T.astype(self.dtype), self.dtype))
+        ctx = PCGContext(
+            coarse_ops=tuple(self._plain_ops(j) for j in chosen),
+            transfers=tuple(transfers),
+            n_levels=len(chosen), dense_level=0)
         out = dataclasses.replace(base, pcg_ctx=ctx)
         self._ops_solve[l] = out
         return out
