@@ -694,7 +694,7 @@ def assemble(mg, *, dim=None, state_variables=None, D=None, x=None, p=1.0,
 
 
 def mgb_solve(prob: MGBProblem, *, verbose=False, logfile=None, device=None,
-              **kwargs) -> MGBSOL:
+              profile_dir=None, **kwargs) -> MGBSOL:
     """Solve an assembled problem; returns an MGBSOL (host arrays).
 
     Keyword arguments mirror the reference's solver controls: tol, t,
@@ -719,7 +719,9 @@ def mgb_solve(prob: MGBProblem, *, verbose=False, logfile=None, device=None,
         device = jax.devices(device)[0]
     ctx = jax.default_device(device) if device is not None \
         else contextlib.nullcontext()
-    with ctx:
+    prof = (jax.profiler.trace(profile_dir) if profile_dir
+            else contextlib.nullcontext())
+    with ctx, prof:
         logger("mgb_solve", "device = ",
                device if device is not None else jax.default_backend())
         SOL = mgb_driver(prob.M, prob.f_grid, prob.g_grid, prob.Q,
