@@ -11,7 +11,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..ops.blockdiag import BlockDiagHost
-from .geometry import Geometry, dedupe
+from .geometry import Geometry
 
 
 class FEM2DP1:

@@ -18,7 +18,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..ops.blockdiag import BlockDiagHost
-from .geometry import Geometry, unique_coords
+from .geometry import Geometry
 
 
 class FEM2DP2:

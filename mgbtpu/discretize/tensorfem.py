@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops.blockdiag import BlockDiagHost
-from .geometry import Geometry, dedupe
+from .geometry import Geometry
 
 AXIS_SYMS = ("dx", "dy", "dz")
 

@@ -32,7 +32,7 @@ from ..discretize.spectral import (Spectral1D, Spectral2D,
 from ..discretize.tensorfem import (TensorFEM, find_boundary_tensorfem,
                                     corner_local, q1_lift, tf_reference,
                                     refine_local, refine_connectivity,
-                                    build_geometry, extract_corners)
+                                    build_geometry)
 from .multigrid import MultiGrid
 from .prolongators import amg_ruge_stuben
 

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .._config import default_dtype, eps as dtype_eps
+from .._config import eps as dtype_eps
 from ..convex.convex import Convex, validate_convex_inputs
 from ..hierarchy.multigrid import AMGSystem, prepare_amg
 from ..utils.errors import MGBConvergenceFailure

@@ -13,7 +13,7 @@ import numpy as np
 
 from ..convex import convex_euclidian_power, intersect
 from ..hierarchy.multigrid import prepare_amg
-from .mgb import MGBProblem, assemble, mgb_solve
+from .mgb import assemble, mgb_solve
 
 
 def default_D_parabolic(dim):

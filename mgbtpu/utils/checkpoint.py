@@ -9,8 +9,6 @@ npz, and ``warm_start_grid`` feeds a previous solution back into
 """
 from __future__ import annotations
 
-import json
-
 import numpy as np
 
 
