@@ -509,8 +509,15 @@ def mgb_driver(Mpair, f_grid, g_grid, Q: Convex, *, tol=None, t=0.1,
         # (TPU transcendental accuracy in the per-node gradients); eta = 1/2
         # still certifies the quadratic-convergence region and halves the
         # wasted just-missed-the-cap iterations.
-        eta = 0.5 if np.dtype(dtype) == np.float32 else 0.25
-        stopping_criterion = stopping_inexact(eta / np.sqrt(len(M1.w)), 0.9)
+        if np.dtype(dtype) == np.float32:
+            # the computed decrement floors at ~3e-3 regardless of n (f32
+            # transcendental noise in the per-node gradients); without the
+            # absolute floor, lambda_tol ~ 1/sqrt(n) becomes unreachable at
+            # ~1e4 nodes and every fine-level step fails into kappa thrash
+            lam = max(0.5 / np.sqrt(len(M1.w)), 3.5e-3)
+        else:
+            lam = 0.25 / np.sqrt(len(M1.w))
+        stopping_criterion = stopping_inexact(lam, 0.9)
     if line_search is None:
         line_search = linesearch_backtracking()
     if finalize == "default":
