@@ -14,6 +14,9 @@ import os
 import sys
 import time
 
+# remember whether the caller forced float32 before we default it: the
+# CPU branch below picks float64 only when the caller didn't
+_CALLER_NO_X64 = bool(os.environ.get("MGBTPU_NO_X64"))
 os.environ.setdefault("MGBTPU_NO_X64", "1")
 
 import numpy as np
@@ -57,8 +60,11 @@ def main():
 
     L = int(os.environ.get("MGB_BENCH_L", "5"))
     backend = jax.default_backend()
-    dtype = np.float64 if backend == "cpu" and not os.environ.get(
-        "MGBTPU_NO_X64") else np.float32
+    if backend == "cpu" and not _CALLER_NO_X64:
+        jax.config.update("jax_enable_x64", True)
+        dtype = np.float64
+    else:
+        dtype = np.float32
     r = run(L, dtype)
     base = BASELINE_GPU.get(L)
     vs = (base / r["solve_s"]) if base else None

@@ -30,6 +30,10 @@ from .frontends.model import Model
 from .parallel import make_mesh
 from .utils.checkpoint import save_solution, load_solution, warm_start_grid
 from . import zoo
+# the function shadows the subpackage on purpose: plot(sol) is the API
+# (reference extends PyPlot.plot); the module stays importable as
+# ``from mgbtpu.plot.plotting import ...``
+from .plot.plotting import plot, save_animation
 
 __version__ = "0.1.0"
 
@@ -47,4 +51,5 @@ __all__ = [
     "default_D", "default_f", "default_g", "default_idx",
     "parabolic_solve", "ParabolicSOL", "gmsh_import", "Model", "make_mesh",
     "save_solution", "load_solution", "warm_start_grid", "zoo",
+    "plot", "save_animation",
 ]

@@ -77,16 +77,55 @@ def _plot_geom(geom, z, ax=None, **kwargs):
         ax.plot_trisurf(xf[:, 0], xf[:, 1], z, triangles=tris,
                         cmap=kwargs.pop("cmap", "viridis"), **kwargs)
         return ax
-    # quads / spectral2d / embedded: scattered surface via Delaunay triangulation
-    if xf.shape[1] >= 3:
-        ax.plot_trisurf(xf[:, 0], xf[:, 1], xf[:, 2],
-                        cmap=kwargs.pop("cmap", "viridis"), **kwargs)
-        return ax
     import matplotlib.tri as mtri
 
+    # quads / embedded: per-element fan triangulation in broken-node space
+    # (quads are V = (k+1)^2 tensor nodes per element; fan each sub-quad)
+    tris = _quad_fans(geom)
+    if xf.shape[1] >= 3:
+        # embedded surface: geometry gives the surface, the solution colors it
+        from matplotlib import colormaps, colors
+
+        if tris is None:
+            tris = mtri.Triangulation(
+                xf[:, 0] + 1e-9 * np.arange(len(z)), xf[:, 1]).triangles
+        tarr = np.asarray(tris, dtype=np.int64)
+        surf = ax.plot_trisurf(xf[:, 0], xf[:, 1], xf[:, 2],
+                               triangles=tarr, **kwargs)
+        zt = z[tarr].mean(axis=1)
+        norm = colors.Normalize(zt.min(), zt.max() if zt.max() > zt.min()
+                                else zt.min() + 1)
+        surf.set_fc(colormaps["viridis"](norm(zt)))
+        return ax
+    if tris is not None:
+        ax.plot_trisurf(xf[:, 0], xf[:, 1], z, triangles=tris,
+                        cmap=kwargs.pop("cmap", "viridis"), **kwargs)
+        return ax
     tri = mtri.Triangulation(xf[:, 0] + 1e-9 * np.arange(len(z)), xf[:, 1])
     ax.plot_trisurf(tri, z, cmap=kwargs.pop("cmap", "viridis"), **kwargs)
     return ax
+
+
+def _quad_fans(geom):
+    """Triangles over the broken nodes of a 2D tensor (quad) geometry: two
+    triangles per (k x k) sub-quad of each element; None if not tensor-2D."""
+    from ..discretize.tensorfem import TensorFEM
+
+    disc = geom.discretization
+    if not (isinstance(disc, TensorFEM) and disc.d == 2):
+        return None
+    k1 = disc.k + 1
+    N = geom.x.shape[1]
+    tris = []
+    for e in range(N):
+        base = e * k1 * k1
+        for i in range(disc.k):
+            for j in range(disc.k):
+                a = base + i * k1 + j
+                b, c2, d2 = a + 1, a + k1, a + k1 + 1
+                tris.append([a, b, d2])
+                tris.append([a, d2, c2])
+    return tris
 
 
 def animate(psol, component=0, interval=200):

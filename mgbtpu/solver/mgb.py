@@ -217,13 +217,6 @@ class ProblemKernels:
     def node_f0(self, args, Dz):
         return np.asarray(self._node_f0(tuple(args), jnp.asarray(Dz)))
 
-    def level_grad_hess(self, l, z, wc, bw, args):
-        """f1 and dense f2 at s=0 on level l (used by _matched_t)."""
-        s0 = jnp.zeros((self.ops(l).n_J,), dtype=self.dtype)
-        fa = self._fargs(l, z, wc, bw, args)
-        g, H = self._grad_hess(s0, *fa)
-        return np.asarray(g), np.asarray(H)
-
 
 def _kernels_for(M: AMGSystem, Fs, line_search, dtype,
                  mesh=None) -> ProblemKernels:

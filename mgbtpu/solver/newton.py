@@ -430,11 +430,11 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         ok0 = Y.isfinite(y0) & jnp.all(jnp.isfinite(g0))
 
         def cond(carry):
-            x, y, g, ymin, gmin, incmin, k, status = carry
+            x, y, g, ymin, gmin, k, status = carry
             return (status == RUNNING) & (k < maxit)
 
         def body(carry):
-            x, y, g, ymin, gmin, incmin, k, status = carry
+            x, y, g, ymin, gmin, k, status = carry
             from .levelops import GramHessian
 
             H = f2(x, *fargs)
@@ -490,14 +490,12 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             return (x2, y2, g2,
                     Y.minimum(ymin, y2),
                     jnp.minimum(gmin, jnp.linalg.norm(g2)),
-                    jnp.minimum(incmin, jnp.where(take, inc, incmin)),
                     k + 1, status)
 
         init = (x0, y0, g0, y0, jnp.linalg.norm(g0),
-                jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
                 jnp.where(ok0, RUNNING, BAD_INIT).astype(jnp.int32))
-        x, y, g, ymin, gmin, incmin, k, status = lax.while_loop(cond, body,
-                                                                init)
+        x, y, g, ymin, gmin, k, status = lax.while_loop(cond, body, init)
         status = jnp.where(status == RUNNING, DIVERGED, status)
         return x, Y.value(y), k, status
 

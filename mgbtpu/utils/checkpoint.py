@@ -33,12 +33,13 @@ def load_solution(path):
     from types import SimpleNamespace
 
     d = np.load(path)
+    feas_ts = d["feas_ts"] if "feas_ts" in d else np.zeros(0)
     return SimpleNamespace(
         z=d["z"],
         log=bytes(d["log"]).decode(),
         SOL_main=dict(its=d["main_its"], ts=d["main_ts"],
                       kappas=d["main_kappas"], c_dot_Dz=d["main_c_dot_Dz"]),
-        SOL_feasibility=None,
+        SOL_feasibility=dict(ts=feas_ts) if feas_ts.size else None,
     )
 
 

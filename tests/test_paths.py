@@ -19,12 +19,20 @@ def test_pure_p2_zero_corner_weights_and_slack():
 
 def test_bubble_vs_pure_p2_consistent():
     # same continuous problem, two element variants: u solutions close
-    zb = mgb_solve(assemble(amg(subdivide(fem2d_P2(bubble=True), 2)),
-                            p=2.0)).z
-    zp = mgb_solve(assemble(amg(subdivide(fem2d_P2(bubble=False), 2)),
-                            p=2.0)).z
-    # compare u at the shared corner/edge nodes: max diff small at this h
+    gb = subdivide(fem2d_P2(bubble=True), 2)
+    gp = subdivide(fem2d_P2(bubble=False), 2)
+    zb = mgb_solve(assemble(amg(gb), p=2.0)).z
+    zp = mgb_solve(assemble(amg(gp), p=2.0)).z
     assert np.isfinite(zb).all() and np.isfinite(zp).all()
+    # compare u at the shared corner/edge nodes (the first 6 broken nodes of
+    # each element coincide between the 7-node bubble and 6-node pure layouts)
+    ub = zb[:, 0].reshape(-1, 7)[:, :6]
+    up = zp[:, 0].reshape(-1, 6)
+    xb = gb.xflat().reshape(-1, 7, 2)[:, :6]
+    xp = gp.xflat().reshape(-1, 6, 2)
+    assert np.abs(xb - xp).max() < 1e-12   # same nodes, same order
+    # the u spaces differ by the cubic bubble: agreement to discretization err
+    assert np.abs(ub - up).max() < 2e-2
 
 
 def test_fem3d_solve():
