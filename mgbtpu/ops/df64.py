@@ -14,6 +14,7 @@ equal-shape f32 arrays. Relative accuracy ~ 2^-48 ~ 4e-15.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _SPLIT = 4097.0  # 2^12 + 1 (Dekker splitting constant for float32)
@@ -137,6 +138,163 @@ def dd_matvec(Ah, Al, x):
     p, e = two_prod(Ah, x[None, :])
     e = e + Al * x[None, :]
     return dd_tree_sum((p, e), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Elementwise dd algebra and transcendentals (the per-node barrier-derivative
+# kit: the catastrophic cancellation r = s^alpha - |q|^2 has r ~ 1/t, so f32
+# evaluation noise is amplified by t ~ 1/tol; evaluated in dd it stays at
+# ~2^-48 relative).
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+
+def dd_sqr(x):
+    xh, xl = x
+    p, e = two_prod(xh, xh)
+    e = e + 2.0 * (xh * xl)
+    return quick_two_sum(p, e)
+
+
+def dd_recip(y):
+    """1 / y to dd accuracy (Newton on the f32 reciprocal)."""
+    yh, yl = y
+    r0 = 1.0 / yh
+    p, pe = two_prod(yh, r0)
+    e = ((1.0 - p) - pe) - yl * r0          # 1 - y*r0, |e| ~ eps
+    corr = r0 * (e * (1.0 + e))             # r0*(e + e^2); e^3 below dd eps
+    return quick_two_sum(r0, corr)
+
+
+def dd_div(x, y):
+    return dd_mul(x, dd_recip(y))
+
+
+def dd_sqrt(x):
+    """sqrt(x) to dd accuracy; NaN for x < 0 (propagates), 0 at 0."""
+    xh, xl = x
+    s0 = jnp.sqrt(xh)
+    p, pe = two_prod(s0, s0)
+    d = ((xh - p) - pe) + xl                # x - s0^2, |d| ~ eps*x
+    denom = jnp.where(s0 > 0, 2.0 * s0, 1.0)
+    corr = jnp.where(s0 > 0, d / denom, 0.0)
+    return quick_two_sum(s0, corr)
+
+
+_LN2 = 0.6931471805599453
+_LN2_HI = _np.float32(_LN2)
+_LN2_LO = _np.float32(_LN2 - float(_np.float32(_LN2)))
+# inverse factorials 1/k! for k = 2..13 as (hi, lo) f32 splits
+_INV_FACT = []
+for _k in range(2, 14):
+    _v = 1.0
+    for _j in range(2, _k + 1):
+        _v /= _j
+    _h = _np.float32(_v)
+    _INV_FACT.append((_h, _np.float32(_v - float(_h))))
+
+
+def dd_exp(x):
+    """exp(x) to ~dd accuracy: range reduction by ln2 + degree-13 Taylor.
+
+    x = k*ln2 + r with |r| <= ln2/2; exp(r) by Taylor (term 14 is below
+    2^-49 at this radius); scale by 2^k. -inf -> 0, +inf -> inf.
+    """
+    xh, xl = x
+    k = jnp.round(xh / _np.float32(_LN2))
+    kc = jnp.clip(k, -126.0, 126.0)          # keep 2^k finite/normal
+    ln2 = (jnp.full_like(xh, _LN2_HI), jnp.full_like(xh, _LN2_LO))
+    r = dd_sub((xh, xl), dd_mul_f(ln2, kc))
+    # Horner in dd: p = 1/13! ; p = p*r + 1/12! ; ... ; p = p*r + 1/2!
+    p = (jnp.full_like(xh, _INV_FACT[-1][0]),
+         jnp.full_like(xh, _INV_FACT[-1][1]))
+    for c in reversed(_INV_FACT[:-1]):
+        p = dd_mul(p, r)
+        p = dd_add(p, (jnp.full_like(xh, c[0]), jnp.full_like(xh, c[1])))
+    # exp(r) = 1 + r + r^2 * p
+    p = dd_mul(p, dd_sqr(r))
+    p = dd_add(p, r)
+    p = dd_add_f(p, 1.0)
+    # 2^k must be EXACT (jnp.exp2 lowers to exp(k*ln2): 1e-6-level error);
+    # build it from the IEEE exponent bits
+    scale = jax.lax.bitcast_convert_type(
+        ((kc.astype(jnp.int32) + 127) << 23).astype(jnp.int32), jnp.float32)
+    h, l = p[0] * scale, p[1] * scale
+    big = xh > 88.0                          # exp overflows f32
+    neg = xh < -88.0
+    h = jnp.where(big, jnp.inf, jnp.where(neg, 0.0, h))
+    l = jnp.where(big | neg, 0.0, l)
+    nan = jnp.isnan(xh)
+    h = jnp.where(nan, jnp.nan, h)
+    return h, l
+
+
+def dd_log(x):
+    """log(x) to ~dd accuracy for x > 0 (one dd Newton step on f32 log);
+    x <= 0 -> -inf (0) / NaN (negative), matching jnp.log."""
+    xh, xl = x
+    pos = xh > 0
+    safe = jnp.where(pos, xh, 1.0)
+    y0 = jnp.log(safe)
+    w = dd_mul((jnp.where(pos, xh, 1.0), jnp.where(pos, xl, 0.0)),
+               dd_exp((-y0, jnp.zeros_like(y0))))
+    e = dd_add_f(w, -1.0)                    # x*exp(-y0) - 1, |e| ~ eps
+    corr = dd_sub(e, dd_mul_f(dd_sqr(e), 0.5))
+    h, l = dd_add(corr, (y0, jnp.zeros_like(y0)))
+    neg = xh < 0
+    h = jnp.where(pos, h, jnp.where(neg, jnp.nan, -jnp.inf))
+    l = jnp.where(pos, l, 0.0)
+    inf = jnp.isinf(xh) & pos
+    h = jnp.where(inf, jnp.inf, h)
+    l = jnp.where(inf, 0.0, l)
+    h = jnp.where(jnp.isnan(xh), jnp.nan, h)
+    return h, l
+
+
+def dd_log_barrier(x):
+    """The convex programmer's Log in dd: log(x) for x > 0, else -inf."""
+    h, l = dd_log(x)
+    bad = ~(x[0] > 0)
+    return jnp.where(bad, -jnp.inf, h), jnp.where(bad, 0.0, l)
+
+
+def dd_pow(x, a):
+    """x**a as exp(a * Log(x)) in dd; a is f32 (or a dd pair).
+
+    Matches safe_pow semantics: x <= 0 with a > 0 -> 0 (exp(-inf)), so
+    enclosing barrier terms go +/-inf and the trial is rejected.
+    """
+    lg = dd_log_barrier(x)
+    t = dd_mul(lg, a) if isinstance(a, tuple) else dd_mul_f(lg, a)
+    # exp of (-inf) hi with a*(-inf) = nan when a == 0: pow(x<=0, 0) -> 1
+    return dd_exp(t)
+
+
+def dd_dot_pair(a, b, axis=-1):
+    """dd dot product of two dd arrays along ``axis``."""
+    p = dd_mul(a, b)
+    return dd_tree_sum(p, axis=axis)
+
+
+def dd_mv(A, x, b=None):
+    """A @ x (+ b) with f32 matrix A (..., m, n) and dd vector x (..., n)
+    -> dd (..., m). Products are error-free; reduction is a dd tree sum."""
+    xh, xl = x
+    ph, pe = two_prod(A, xh[..., None, :])
+    pe = pe + A * xl[..., None, :]
+    h, l = dd_tree_sum((ph, pe), axis=-1)
+    if b is not None:
+        h, l = dd_add((h, l), (b, jnp.zeros_like(b)))
+    return h, l
+
+
+def f64_split(a, dtype=_np.float32):
+    """Split a float64 host array into an (hi, lo) f32 pair (error-free)."""
+    a = _np.asarray(a, dtype=_np.float64)
+    hi = a.astype(dtype)
+    lo = (a - hi.astype(_np.float64)).astype(dtype)
+    return hi, lo
 
 
 # ---------------------------------------------------------------------------

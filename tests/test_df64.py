@@ -75,3 +75,55 @@ def test_dd_under_jit():
     hi, lo = f(a, a)
     ref = np.dot(np.asarray(a, np.float64), np.asarray(a, np.float64))
     assert abs(float(hi) + float(lo) - ref) < 1e-9 * abs(ref) + 1e-9
+
+
+def _pair(x64):
+    hi, lo = df64.f64_split(x64)
+    return (jnp.asarray(hi), jnp.asarray(lo))
+
+
+def _relerr(got, want):
+    g = np.asarray(got[0], np.float64) + np.asarray(got[1], np.float64)
+    return np.max(np.abs(g - want) / np.maximum(np.abs(want), 1e-300))
+
+
+def test_dd_transcendentals_vs_f64():
+    rng = np.random.default_rng(5)
+    x64 = rng.uniform(1e-6, 1e6, 4096)
+    x = _pair(x64)
+    assert _relerr(df64.dd_log(x), np.log(x64)) < 1e-13
+    assert _relerr(df64.dd_sqrt(x), np.sqrt(x64)) < 1e-13
+    assert _relerr(df64.dd_recip(x), 1.0 / x64) < 1e-13
+    assert _relerr(df64.dd_sqr(x), x64 ** 2) < 1e-13
+    e_in = rng.uniform(-60, 60, 4096)
+    assert _relerr(df64.dd_exp(_pair(e_in)), np.exp(e_in)) < 1e-12
+    a32 = rng.uniform(0.1, 3.0, 4096).astype(np.float32)
+    want = x64 ** a32.astype(np.float64)
+    assert _relerr(df64.dd_pow(x, jnp.asarray(a32)), want) < 1e-12
+
+
+def test_dd_transcendental_edges():
+    def one(fn, v):
+        h, l = fn((jnp.float32(v), jnp.float32(0.0)))
+        return float(h)
+
+    assert one(df64.dd_exp, -np.inf) == 0.0
+    assert one(df64.dd_exp, np.inf) == np.inf
+    assert np.isnan(one(df64.dd_exp, np.nan))
+    assert one(df64.dd_exp, 100.0) == np.inf
+    assert one(df64.dd_exp, -100.0) == 0.0
+    assert one(df64.dd_log, 0.0) == -np.inf
+    assert np.isnan(one(df64.dd_log, -1.0))
+    assert one(df64.dd_log, np.inf) == np.inf
+    # barrier Log: negative -> -inf (rejected trial), not NaN
+    assert one(df64.dd_log_barrier, -1.0) == -np.inf
+
+
+def test_dd_cancellation_r():
+    # the solver's money cancellation: r = s^2 - |q|^2 with r/s^2 ~ 1e-5
+    rng = np.random.default_rng(6)
+    s = rng.uniform(0.5, 2.0, 4096)
+    q2 = s ** 2 * (1 - 1e-5 * rng.uniform(0.5, 1.5, 4096))
+    r = df64.dd_sub(df64.dd_sqr(_pair(s)), _pair(q2))
+    want = s ** 2 - q2
+    assert _relerr(r, want) < 1e-8        # plain f32 is ~1e-2 here
