@@ -13,6 +13,16 @@ from __future__ import annotations
 
 import os
 
+# XLA:CPU's fusion emitters (jaxlib 0.9.0) infinite-loop at execution on the
+# double-float barrier graphs (deep chains of error-free transforms; repro:
+# the level f0 with a DD Dz carried into both the barrier and linear terms).
+# The legacy emitters are correct; only the CPU backend is affected. Must be
+# set before the CPU client is created.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_use_fusion_emitters" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_use_fusion_emitters=false").strip()
+
 import jax
 
 if not os.environ.get("MGBTPU_NO_X64"):

@@ -28,13 +28,14 @@ def scatter_vec(idx, vals, N):
     """Scatter a gradient over selected positions into a length-N vector.
 
     ``idx=None`` is the identity (Colon semantics). Mirrors reference
-    ``_scatter_gradient`` (``src/convex_linear.jl:237-249``).
+    ``_scatter_gradient`` (``src/convex_linear.jl:237-249``). DD-aware
+    (double-float values scatter componentwise).
     """
-    import jax.numpy as jnp
+    from ..ops.ddarray import zeros
 
     if idx is None:
         return vals
-    z = jnp.zeros((N,), dtype=vals.dtype)
+    z = zeros((N,), like=vals)
     return z.at[np.asarray(idx, dtype=np.int32)].set(vals)
 
 
@@ -42,14 +43,14 @@ def scatter_mat(idx, H, N):
     """Scatter a Hessian over selected positions into an N-by-N matrix.
 
     ``idx=None`` is the identity. Mirrors reference ``_scatter_hessian``
-    (``src/convex_linear.jl:258-280``).
+    (``src/convex_linear.jl:258-280``). DD-aware.
     """
-    import jax.numpy as jnp
+    from ..ops.ddarray import zeros
 
     if idx is None:
         return H
     ii = np.asarray(idx, dtype=np.int32)
-    z = jnp.zeros((N, N), dtype=H.dtype)
+    z = zeros((N, N), like=H)
     return z.at[np.ix_(ii, ii)].set(H)
 
 

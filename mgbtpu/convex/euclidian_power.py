@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops import ddarray
+from ..ops.ddarray import cat, outer
 from ..utils.log import Log, safe_pow
 from ._common import resolve_x, sample_grid, scatter_vec, scatter_mat, gather
 from .convex import Convex, input_spec_from_idx
@@ -36,37 +38,46 @@ def _core_parts(A_row, b_row, idx, y):
 
 
 def _core_grad(q, s, p0, mu):
-    """Gradient of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:387-397."""
+    """Gradient of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:387-397.
+
+    Only one transcendental power is evaluated: s^(alpha-1) = s^alpha / s
+    (exact division is far cheaper than a second exp/log chain, which matters
+    for the double-float path where each safe_pow is a ~dd_log+dd_exp chain).
+    """
     alpha = 2.0 / p0
     q_sq = q @ q
     s_a = safe_pow(s, alpha)
     r = s_a - q_sq
     inv_r = 1.0 / r
     grad_q = (2.0 * inv_r) * q
-    s_am1 = safe_pow(s, alpha - 1.0)
+    s_am1 = s_a / s
     grad_s = -alpha * s_am1 * inv_r - mu / s
-    return jnp.concatenate([grad_q, grad_s[None]])
+    return cat([grad_q, grad_s[None]])
 
 
 def _core_hess(q, s, p0, mu):
-    """Hessian of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:400-433."""
+    """Hessian of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:400-433.
+
+    As in ``_core_grad``, the power ladder s^(alpha-1), s^(alpha-2),
+    s^(2alpha-2) is derived from one safe_pow by exact division/squaring.
+    """
     alpha = 2.0 / p0
     q_sq = q @ q
     s_a = safe_pow(s, alpha)
     r = s_a - q_sq
     inv_r = 1.0 / r
     inv_r2 = inv_r * inv_r
-    s_am1 = safe_pow(s, alpha - 1.0)
+    s_am1 = s_a / s
     coef_qs = -2.0 * alpha * s_am1 * inv_r2
-    s_am2 = safe_pow(s, alpha - 2.0)
-    s_2am2 = safe_pow(s, 2.0 * alpha - 2.0)
+    s_am2 = s_am1 / s
+    s_2am2 = s_am1 * s_am1
     H_ss = (-alpha * (alpha - 1.0) * s_am2 * inv_r
             + alpha * alpha * s_2am2 * inv_r2 + mu / (s * s))
-    Hqq = 4.0 * inv_r2 * jnp.outer(q, q) + 2.0 * inv_r * jnp.eye(q.shape[0], dtype=q.dtype)
+    Hqq = 4.0 * inv_r2 * outer(q, q) + 2.0 * inv_r * jnp.eye(q.shape[0], dtype=q.dtype)
     cross = coef_qs * q
-    top = jnp.concatenate([Hqq, cross[:, None]], axis=1)
-    bot = jnp.concatenate([cross, H_ss[None]])[None, :]
-    return jnp.concatenate([top, bot], axis=0)
+    top = cat([Hqq, cross[:, None]], axis=1)
+    bot = cat([cross, H_ss[None]])[None, :]
+    return cat([top, bot], axis=0)
 
 
 def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
@@ -141,19 +152,27 @@ def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
     spec = input_spec_from_idx(idx_t, nz)
 
     # ---- per-node functions ---------------------------------------------
+    # p is promoted to DD alongside a DD y: alpha = 2/p must carry more than
+    # f32 bits or its rounding alone injects ~1e-7 relative error into
+    # s^alpha (the reference computes alpha in Float64)
+    def _pp(p_val, y):
+        if isinstance(y, ddarray.DD) and not isinstance(p_val, ddarray.DD):
+            return ddarray.DD(p_val)
+        return p_val
+
     def F0(A_row, b_row, p_val, mu_val, y):
         _, q, s = _core_parts(A_row, b_row, idx_t, y)
-        alpha = 2.0 / p_val
+        alpha = 2.0 / _pp(p_val, y)
         return -Log(safe_pow(s, alpha) - q @ q) - mu_val * Log(s)
 
     def F1(A_row, b_row, p_val, mu_val, y):
         Ax, q, s = _core_parts(A_row, b_row, idx_t, y)
-        g = Ax.T @ _core_grad(q, s, p_val, mu_val)
+        g = Ax.T @ _core_grad(q, s, _pp(p_val, y), mu_val)
         return scatter_vec(idx_t, g, y.shape[0])
 
     def F2(A_row, b_row, p_val, mu_val, y):
         Ax, q, s = _core_parts(A_row, b_row, idx_t, y)
-        H = Ax.T @ _core_hess(q, s, p_val, mu_val) @ Ax
+        H = Ax.T @ _core_hess(q, s, _pp(p_val, y), mu_val) @ Ax
         return scatter_mat(idx_t, H, y.shape[0])
 
     # cobarrier: y carries an appended slack; s_eff = s + slack
@@ -168,24 +187,24 @@ def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
 
     def C0(A_row, b_row, p_val, mu_val, yhat):
         _, q, s = _co_parts(A_row, b_row, yhat)
-        alpha = 2.0 / p_val
+        alpha = 2.0 / _pp(p_val, yhat)
         return -Log(safe_pow(s, alpha) - q @ q) - mu_val * Log(s)
 
     def C1(A_row, b_row, p_val, mu_val, yhat):
         Ax, q, s = _co_parts(A_row, b_row, yhat)
-        gz = _core_grad(q, s, p_val, mu_val)
+        gz = _core_grad(q, s, _pp(p_val, yhat), mu_val)
         g = Ax.T @ gz
         N1 = yhat.shape[0]
         out = scatter_vec(idx_t, g, N1 - 1)
-        return jnp.concatenate([out, gz[-1][None]])
+        return cat([out, gz[-1][None]])
 
     def C2(A_row, b_row, p_val, mu_val, yhat):
         Ax, q, s = _co_parts(A_row, b_row, yhat)
-        Hz = _core_hess(q, s, p_val, mu_val)
+        Hz = _core_hess(q, s, _pp(p_val, yhat), mu_val)
         H = Ax.T @ Hz @ Ax
         cross = Ax.T @ Hz[:, -1]
         N1 = yhat.shape[0]
-        out = jnp.zeros((N1, N1), dtype=yhat.dtype)
+        out = ddarray.zeros((N1, N1), like=yhat)
         ii = np.arange(N1 - 1) if idx_t is None else np.asarray(idx_t, dtype=np.int32)
         out = out.at[np.ix_(ii, ii)].set(H)
         out = out.at[ii, N1 - 1].set(cross)

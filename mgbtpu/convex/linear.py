@@ -8,6 +8,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops import ddarray
+from ..ops.ddarray import cat
 from ..utils.log import Log
 from ._common import resolve_x, sample_grid, scatter_vec, scatter_mat, gather
 from .convex import Convex, input_spec_from_idx
@@ -76,7 +78,7 @@ def convex_linear(mg=None, *, idx=None, A=None, b=None,
 
     def F0(A_row, b_row, y):
         _, F = _parts(A_row, b_row, y)
-        return -jnp.sum(Log(F))
+        return -(Log(F).sum())
 
     def F1(A_row, b_row, y):
         Ax, F = _parts(A_row, b_row, y)
@@ -90,27 +92,28 @@ def convex_linear(mg=None, *, idx=None, A=None, b=None,
 
     def C0(A_row, b_row, yhat):
         Ax, F = _parts(A_row, b_row, yhat[:-1])
-        return -jnp.sum(Log(F + yhat[-1]))
+        return -(Log(F + yhat[-1]).sum())
 
     def C1(A_row, b_row, yhat):
         Ax, F = _parts(A_row, b_row, yhat[:-1])
         invF = 1.0 / (F + yhat[-1])
         g = -(Ax.T @ invF)
         out = scatter_vec(idx_t, g, yhat.shape[0] - 1)
-        return jnp.concatenate([out, (-jnp.sum(invF))[None]])
+        return cat([out, (-(invF.sum()))[None]])
 
     def C2(A_row, b_row, yhat):
         Ax, F = _parts(A_row, b_row, yhat[:-1])
-        invF2 = 1.0 / (F + yhat[-1]) ** 2
+        inv = 1.0 / (F + yhat[-1])
+        invF2 = inv * inv
         H = Ax.T @ (Ax * invF2[:, None])
         cross = Ax.T @ invF2
         N1 = yhat.shape[0]
-        out = jnp.zeros((N1, N1), dtype=yhat.dtype)
+        out = ddarray.zeros((N1, N1), like=yhat)
         ii = np.arange(N1 - 1) if idx_t is None else np.asarray(idx_t, dtype=np.int32)
         out = out.at[np.ix_(ii, ii)].set(H)
         out = out.at[ii, N1 - 1].set(cross)
         out = out.at[N1 - 1, ii].set(cross)
-        out = out.at[N1 - 1, N1 - 1].set(jnp.sum(invF2))
+        out = out.at[N1 - 1, N1 - 1].set(invF2.sum())
         return out
 
     def Slack(A_row, b_row, y):

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops import ddarray
 from ._common import resolve_x, sample_grid
 from .convex import Convex
 
@@ -57,12 +58,14 @@ def convex_piecewise(Q, *, mg=None, select=None, select_grid=None,
             for k in range(npc):
                 val = fn_of_piece(k)(*_piece_args(piece_rows, k), y)
                 active = sel_row[k] != 0
-                masked = jnp.where(active, val, zero_of(val))
+                masked = ddarray.where(active, val, zero_of(val))
                 total = masked if total is None else reducer(total, masked)
             return total
         return F
 
     def _zero(val):
+        if isinstance(val, ddarray.DD):
+            return ddarray.zeros(val.shape, like=val)
         return jnp.zeros_like(val)
 
     def _neginf(val):

@@ -17,6 +17,15 @@ masked mean for ``barrier_nodes`` selections; nodes with bw == 0 are dropped
 poison the sum (the 0*inf=NaN hazard; reference ``src/convex.jl:207-257``).
 The linear term always uses the physical quadrature weights (passed combined
 as wc = w * t * c).
+
+float32/TPU path (``ops.dd``): the entire per-node evaluation runs in
+double-float — Dz0 is threaded as a DD pair, Dz = Dz0 + G s accumulates in
+dd, and the per-node F0/F1/F2 (written generically over the scalar type,
+see ``ops/ddarray.py``) see DD inputs. The objective is a stacked df64
+scalar; the gradient's barrier-vs-cost cancellation happens in dd inside
+``apply_Gt``; the Hessian narrows to f32 after its (dd) node evaluation.
+This removes the f32 evaluation noise that floored the computed Newton
+decrement at ~3e-3 in round 1.
 """
 from __future__ import annotations
 
@@ -25,11 +34,20 @@ import jax.numpy as jnp
 
 
 def make_level_fns(Fs):
-    """Level functions with signature f(s, ops, Dz0, wc, bw, *args)."""
+    """Level functions with signature f(s, ops, Dz0, wc, bw, *args).
+
+    In dd mode (``ops.dd``) ``Dz0`` must be a DD pair; otherwise a plain
+    array.
+    """
     F0, F1, F2 = Fs
 
+    def _Dz(s, ops, Dz0):
+        if ops.dd:
+            return Dz0 + ops.apply_G_dd(s)
+        return Dz0 + ops.apply_G(s)
+
     def f0(s, ops, Dz0, wc, bw, *args):
-        Dz = Dz0 + ops.apply_G(s)
+        Dz = _Dz(s, ops, Dz0)
         v = jax.vmap(F0)(*args, Dz)
         if not ops.dd:
             per_node = jnp.where(bw != 0, bw * v, 0.0) + (wc * Dz).sum(axis=1)
@@ -38,27 +56,44 @@ def make_level_fns(Fs):
         # differences along a line search are ~lambda^2, far below the f32
         # ulp of the value itself
         from ..ops import df64
+        from ..ops.ddarray import DD
 
-        bh, bl = df64.two_prod(bw, v)
+        if not isinstance(v, DD):
+            v = DD(v)
+        bh, bl = df64.dd_mul_f((v.hi, v.lo), bw)
         bh = jnp.where(bw != 0, bh, 0.0)
         bl = jnp.where(bw != 0, bl, 0.0)
-        lh, ll = df64.two_prod(wc, Dz)
+        lh, ll = df64.dd_mul_f((Dz.hi, Dz.lo), wc)
         lh, ll = df64.dd_tree_sum((lh, ll), axis=1)
         ph, pl = df64.dd_add((bh, bl), (lh, ll))
         hi, lo = df64.dd_tree_sum((ph, pl), axis=0)
         return df64.s_pack(hi, lo)
 
     def f1(s, ops, Dz0, wc, bw, *args):
-        Dz = Dz0 + ops.apply_G(s)
+        Dz = _Dz(s, ops, Dz0)
         gv = jax.vmap(F1)(*args, Dz)
-        y = jnp.where(bw[:, None] != 0, bw[:, None] * gv, 0.0) + wc
-        return ops.apply_Gt(y)
+        if not ops.dd:
+            y = jnp.where(bw[:, None] != 0, bw[:, None] * gv, 0.0) + wc
+            return ops.apply_Gt(y)
+        from ..ops import df64
+        from ..ops.ddarray import DD
+
+        if not isinstance(gv, DD):
+            gv = DD(gv)
+        yh, yl = df64.dd_mul_f((gv.hi, gv.lo), bw[:, None])
+        yh = jnp.where(bw[:, None] != 0, yh, 0.0)
+        yl = jnp.where(bw[:, None] != 0, yl, 0.0)
+        yh, yl = df64.dd_add((yh, yl), (wc, jnp.zeros_like(wc)))
+        return ops.apply_Gt(DD(yh, yl))
 
     def f2(s, ops, Dz0, wc, bw, *args):
         from .levelops import GramHessian
 
-        Dz = Dz0 + ops.apply_G(s)
+        Dz = _Dz(s, ops, Dz0)
         hv = jax.vmap(F2)(*args, Dz)
+        from ..ops.ddarray import fl
+
+        hv = fl(hv)  # narrow a DD Hessian to plain (values stay accurate)
         Y = jnp.where(bw[:, None, None] != 0, bw[:, None, None] * hv, 0.0)
         if ops.pcg_ctx is not None:
             # large level: matrix-free Gram Hessian, solved by multigrid-

@@ -45,6 +45,22 @@ class PanelOps:
         out = jnp.einsum("kNpc,Nc->Npk", self.panels, sg)
         return out.reshape(self.N * self.p, self.nD)
 
+    def apply_G_dd(self, s):
+        """(n_J,) f32 level coefficients -> DD (n_nodes, nD): G s with
+        error-free products and a df64 tree reduction. The barrier input
+        Dz = Dz0 + G s must carry more than f32 bits: its rounding noise
+        re-enters the power-cone residual cancellation (r = s^a - |q|^2)
+        at the same eps*|q|^2 scale the dd barrier evaluation removes."""
+        from ..ops import df64
+        from ..ops.ddarray import DD
+
+        sg = s[self.cols]                                   # (N, C)
+        ph, pe = df64.two_prod(self.panels, sg[None, :, None, :])
+        hi, lo = df64.dd_tree_sum((ph, pe), axis=3)         # (nD, N, p)
+        hi = hi.transpose(1, 2, 0).reshape(self.N * self.p, self.nD)
+        lo = lo.transpose(1, 2, 0).reshape(self.N * self.p, self.nD)
+        return DD(hi, lo)
+
     def apply_Gt(self, Y):
         """(n_nodes, nD) node values -> (n_J,) adjoint.
 
@@ -52,8 +68,25 @@ class PanelOps:
         returned f32 entries are correctly rounded — the gradient entries
         near the central path are small differences of large barrier/cost
         terms, and plain f32 accumulation noise there floors the Newton
-        decrement above its stopping tolerance.
+        decrement above its stopping tolerance. Accepts a DD ``Y`` (the
+        double-float per-node gradient path): its low words flow into the
+        error accumulator, so the cancellation between the barrier and cost
+        terms survives the contraction.
         """
+        from ..ops.ddarray import DD
+
+        if isinstance(Y, DD):
+            from ..ops import df64
+
+            Yh = Y.hi.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
+            Yl = Y.lo.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
+            ph, pe = df64.two_prod(self.panels, Yh[:, :, :, None])
+            pe = pe + self.panels * Yl[:, :, :, None]
+            hi, lo = df64.dd_tree_sum((ph, pe), axis=2)
+            hi, lo = df64.dd_tree_sum((hi, lo), axis=0)
+            zh = jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(hi)
+            zl = jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(lo)
+            return zh + zl
         Yr = Y.reshape(self.N, self.p, self.nD)
         if not self.dd:
             contrib = jnp.einsum("kNpc,Npk->Nc", self.panels, Yr)
@@ -143,6 +176,15 @@ class EllOp:
 
     def mv(self, x):
         return (self.val * x[self.idx]).sum(axis=1)
+
+    def mv_dd(self, x):
+        """Error-free-product matvec returning a DD vector (used for the
+        fused ramp's double-float z carry)."""
+        from ..ops import df64
+        from ..ops.ddarray import DD
+
+        ph, pe = df64.two_prod(self.val, x[self.idx])
+        return DD(*df64.dd_tree_sum((ph, pe), axis=1))
 
     def rmv(self, y):
         contrib = self.val * y[:, None]

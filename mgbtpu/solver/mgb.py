@@ -27,6 +27,18 @@ from .newton import (CONVERGED, make_newton, stopping_exact, stopping_inexact,
                      linesearch_backtracking)
 
 
+def effective_eps(dtype):
+    """Precision the solver actually works at: double-float (~2^-48) on the
+    float32/TPU path — the per-node barrier derivatives, reductions, and
+    carries all run in dd (solver/barrier.py, ops/ddarray.py) — else the
+    dtype's own eps. Clamped to eps(f64) so the default tolerance
+    sqrt(eff_eps) matches the reference's Float64 semantics
+    (reference src/mgb.jl:96)."""
+    if np.dtype(dtype) == np.float32:
+        return float(np.finfo(np.float64).eps)
+    return dtype_eps(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Defaults (reference src/mgb.jl:586-613)
 # ---------------------------------------------------------------------------
@@ -192,9 +204,22 @@ class ProblemKernels:
         self._ops_solve[l] = out
         return out
 
+    def _Dz0_for(self, z):
+        """Dz0 in the barrier-fargs representation: a DD pair in dd mode
+        (computed in f64 on host, split error-free — the per-node barrier
+        evaluations need Dz to more than f32 bits, see solver/barrier.py),
+        else a plain device array."""
+        if not self.dd:
+            return jnp.asarray(self.M.apply_D_full(z).astype(self.dtype))
+        from ..ops.ddarray import DD
+        from ..ops.df64 import f64_split
+
+        Dz = self.M.apply_D_full(np.asarray(z, dtype=np.float64))
+        hi, lo = f64_split(Dz, dtype=self.dtype)
+        return DD(jnp.asarray(hi), jnp.asarray(lo))
+
     def _fargs(self, l, z, wc, bw, args):
-        Dz0 = self.M.apply_D_full(z).astype(self.dtype)
-        fa = (self.ops(l), jnp.asarray(Dz0),
+        fa = (self.ops(l), self._Dz0_for(z),
               jnp.asarray(wc.astype(self.dtype)),
               jnp.asarray(bw.astype(self.dtype))) + tuple(args)
         if self.mesh is not None:
@@ -213,6 +238,61 @@ class ProblemKernels:
             jnp.asarray(lambda_tol if kind == "inexact" else -1.0, self.dtype),
             jnp.asarray(theta, self.dtype))
         return (np.asarray(x), float(y), int(k), int(status))
+
+    def _R_ell(self, l):
+        if not hasattr(self, "_r_ell_cache"):
+            self._r_ell_cache = {}
+        if l not in self._r_ell_cache:
+            from .levelops import build_ell
+
+            self._r_ell_cache[l] = build_ell(
+                self.M.R_fine[l].astype(self.dtype), self.dtype)
+        return self._r_ell_cache[l]
+
+    def _ramp_for(self, feas_block, finalize_on):
+        if not hasattr(self, "_ramp_cache"):
+            self._ramp_cache = {}
+        key = (feas_block, finalize_on)
+        if key not in self._ramp_cache:
+            from .ramp import make_ramp
+
+            self._ramp_cache[key] = make_ramp(
+                self.fns, line_search=self.line_search, dd=self.dd,
+                feas_block=feas_block, finalize_on=finalize_on)
+        return self._ramp_cache[key]
+
+    def run_ramp(self, z, t, kappa, t_first, wcc, bw, args, *, target,
+                 kappa0, max_newton, stopping, finalize, feas_block,
+                 fin_maxit, max_steps):
+        """One fused on-device ramp chunk from (z, t, kappa) at the finest
+        level; returns a RampChunk (see ``solver/ramp.py``)."""
+        from .ramp import HIST, RampChunk
+
+        kind, theta, lambda_tol = stopping
+        l = self.M.depth - 1
+        ops = self.ops(l)
+        dtype = self.dtype
+        Dz0 = self._Dz0_for(z)
+        if self.dd:
+            from ..ops.ddarray import DD
+
+            z_dev = DD(jnp.asarray(np.asarray(z, dtype=dtype)))
+        else:
+            z_dev = jnp.asarray(np.asarray(z, dtype=dtype))
+        fin_theta = finalize[1] if finalize is not None else 0.9
+        ramp = self._ramp_for(feas_block, finalize is not None)
+        out = ramp(
+            z_dev, Dz0, self._R_ell(l), ops,
+            jnp.asarray(wcc.astype(dtype)), jnp.asarray(bw.astype(dtype)),
+            tuple(args),
+            jnp.asarray(t, dtype), jnp.asarray(kappa, dtype),
+            jnp.asarray(t_first, dtype), jnp.asarray(target, dtype),
+            jnp.asarray(kappa0, dtype), jnp.asarray(max_newton, jnp.int32),
+            jnp.asarray(lambda_tol if kind == "inexact" else -1.0, dtype),
+            jnp.asarray(theta, dtype), jnp.asarray(fin_maxit, jnp.int32),
+            jnp.asarray(fin_theta, dtype),
+            jnp.asarray(min(max_steps, HIST), jnp.int32))
+        return RampChunk(out)
 
     def node_f0(self, args, Dz):
         return np.asarray(self._node_f0(tuple(args), jnp.asarray(Dz)))
@@ -296,6 +376,86 @@ def _early(f, z, t):
         return f(z)
 
 
+def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
+                     tinit, kappa0, maxit, max_newton, stopping, finalize,
+                     feas_block, wc_at, record, hists, progress, log, L):
+    """Drive the fused on-device ramp; fall back to the classic level-bisected
+    ``mgb_step`` only for the (rare) centering failures. Returns
+    (z, z_unf, t, kappa, k, converged)."""
+    from .ramp import R_EARLY, R_NEED_HELP, R_TARGET
+
+    its_hist, ts_hist, kappa_hist, time_hist, cdz_hist = hists
+    wcc = w[:, None] * c
+    t_first = np.inf
+    if feas_block is not None:
+        lo, hi = feas_block
+        if float(np.max(z[lo:hi])) < 0:
+            t_first = t
+    converged = t >= target
+    while not converged and kappa > 1 and k < maxit:
+        prog = float(np.clip(np.log(t / tinit) / np.log(target / tinit), 0, 1)) \
+            if tinit < target else 1.0
+        progress(prog)
+        log("mgb_core", f"fused ramp chunk from t={t} kappa={kappa} k={k}")
+        chunk = kern.run_ramp(
+            z, t, kappa, t_first, wcc, bw, args, target=target, kappa0=kappa0,
+            max_newton=max_newton, stopping=stopping, finalize=finalize,
+            feas_block=feas_block, fin_maxit=maxit, max_steps=maxit - k)
+        now = time.time()
+        for i in range(chunk.nrec):
+            e = np.zeros(L, dtype=np.int64)
+            e[L - 1] = int(chunk.its[i])
+            its_hist.append(e)
+            ts_hist.append(float(chunk.ts[i]))
+            kappa_hist.append(float(chunk.kappas[i]))
+            time_hist.append(now)
+            cdz_hist.append(float(chunk.cdz[i]))
+        k += chunk.k_att
+        if chunk.nrec or chunk.status in (R_TARGET, R_EARLY):
+            z, z_unf = chunk.z, chunk.z_unf
+        t, kappa, t_first = chunk.t, chunk.kappa, chunk.t_first
+        log("mgb_core",
+            f"chunk: {chunk.nrec} steps to t={t}, status={chunk.status}")
+        if chunk.status == R_TARGET:
+            converged = True
+        elif chunk.status == R_EARLY:
+            converged = True
+        elif chunk.status == R_NEED_HELP:
+            # the on-device centering failed: classic divide & conquer for
+            # this one t (level bisection), reference src/mgb.jl:131-158
+            its_acc = np.zeros(L, dtype=np.int64)
+            its_acc[L - 1] += chunk.last_its
+            while kappa > 1:
+                t1 = kappa * t
+                log("mgb_core", f"assisted step: t={t} kappa={kappa} t1={t1}")
+                fin = finalize if t1 >= target else None
+                z_try, z_unf_try, its, conv = mgb_step(
+                    kern, z, wc_at(t1), bw, args, maxit=maxit,
+                    max_newton=max_newton, stopping=stopping, finalize=fin,
+                    log=log)
+                its_acc += its
+                if conv:
+                    if its.max() <= max_newton * 0.5:
+                        kappa = min(kappa0, kappa ** 2)
+                    z, z_unf = z_try, z_unf_try
+                    t = t1
+                    break
+                log("mgb_core", "t refinement failed, shrinking kappa")
+                kappa = np.sqrt(kappa)
+            k += 1
+            record(t, kappa, its_acc, z)
+            if feas_block is not None and kappa > 1:
+                lo, hi = feas_block
+                if float(np.max(z[lo:hi])) < 0:
+                    t_first = min(t_first, t)
+                    if t >= 2 * t_first:
+                        converged = True
+            if t >= target:
+                converged = True
+        # else: chunk exhausted its step budget; loop re-enters
+    return z, z_unf, t, kappa, k, converged
+
+
 def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
              kappa=10.0, early_stop=None, progress=None, max_newton=None,
              stopping, finalize, log):
@@ -306,14 +466,11 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
     """
     t_begin = time.time()
     dtype = kern.dtype
-    epsT = dtype_eps(dtype)
+    epsT = effective_eps(dtype)
     if max_newton is None:
         max_newton = int(np.ceil(np.log2(-np.log2(epsT)))) + 2
-        if kern.dd:
-            # the float32/df64 path converges with slightly noisier Newton
-            # decrements; a marginally tighter cap turns near-converged steps
-            # into expensive bisection/kappa-shrink failures
-            max_newton += 3
+    fusable_stop = early_stop is None or (isinstance(early_stop, tuple)
+                                          and early_stop[0] == "feasibility")
     if early_stop is None:
         early_stop = lambda z_: False
     if progress is None:
@@ -327,12 +484,12 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
     def wc_at(tv):
         return w[:, None] * (tv * c)
 
-    def record(tv, kv, its):
+    def record(tv, kv, its, zv):
         its_hist.append(its)
         ts_hist.append(tv)
         kappa_hist.append(kv)
         time_hist.append(time.time())
-        Dz = kern.M.apply_D_full(z)
+        Dz = kern.M.apply_D_full(zv)
         cdz_hist.append(float(np.sum(w[:, None] * c * Dz)))
 
     initial_finalize = finalize if t >= target else None
@@ -345,33 +502,64 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
         raise MGBConvergenceFailure(
             f"Initial centering failed at t={t}, tol={tol}, maxit={maxit}.",
             "stall")
-    record(t, kappa, its)
+    record(t, kappa, its, z)
     k = 1
-    while t < target and kappa > 1 and k < maxit and not _early(early_stop, z, t):
-        k += 1
-        prog = float(np.clip(np.log(t / tinit) / np.log(target / tinit), 0, 1)) \
-            if tinit < target else 1.0
-        progress(prog)
-        its_acc = np.zeros(L, dtype=np.int64)
-        while kappa > 1:
-            t1 = kappa * t
-            log("mgb_core", f"k={k} t={t} kappa={kappa} t1={t1}")
-            fin = finalize if t1 >= target else None
-            z_try, z_unf_try, its, conv = mgb_step(
-                kern, z, wc_at(t1), bw, args, maxit=maxit,
-                max_newton=max_newton, stopping=stopping, finalize=fin, log=log)
-            its_acc += its
-            if conv:
-                if its.max() <= max_newton * 0.5:
-                    log("mgb_core", "increasing t step size")
-                    kappa = min(kappa0, kappa ** 2)
-                z, z_unf = z_try, z_unf_try
-                t = t1
-                break
-            log("mgb_core", "t refinement failed, shrinking kappa")
-            kappa = np.sqrt(kappa)
-        record(t, kappa, its_acc)
-    converged = (t >= target) or _early(early_stop, z, t)
+    # The fused on-device ramp pays for itself when dispatch round trips are
+    # expensive (TPU through the axon tunnel: ~0.1 s per call); on CPU the
+    # classic host loop reuses the per-level newton jits that the initial
+    # centering / bisection need anyway, so fusing only adds compile time.
+    # MGBTPU_FUSED_RAMP=1/0 overrides (tests force 1 for ramp coverage).
+    env_fused = __import__("os").environ.get("MGBTPU_FUSED_RAMP")
+    want_fused = (env_fused != "0") if env_fused is not None \
+        else jax.default_backend() != "cpu"
+    fused = fusable_stop and kern.mesh is None and want_fused
+    if not fused and isinstance(early_stop, tuple):
+        # materialize the structured feasibility stop as a host closure for
+        # the classic loop (same semantics as the fused on-device check)
+        lo_b, hi_b = early_stop[1]
+        t_first_box = [np.inf]
+
+        def early_stop(zz, tv, _lo=lo_b, _hi=hi_b, _tf=t_first_box):
+            if float(np.max(zz[_lo:_hi])) >= 0:
+                return False
+            _tf[0] = min(_tf[0], tv)
+            return tv >= 2 * _tf[0]
+    if fused:
+        z, z_unf, t, kappa, k, converged = _fused_ramp_loop(
+            kern, z, z_unf, t, kappa, k, args, w=w, c=c, bw=bw,
+            target=target, tinit=tinit, kappa0=kappa0, maxit=maxit,
+            max_newton=max_newton, stopping=stopping, finalize=finalize,
+            feas_block=early_stop[1] if isinstance(early_stop, tuple) else None,
+            wc_at=wc_at, record=record, hists=(its_hist, ts_hist, kappa_hist,
+                                               time_hist, cdz_hist),
+            progress=progress, log=log, L=L)
+    else:
+        while t < target and kappa > 1 and k < maxit \
+                and not _early(early_stop, z, t):
+            k += 1
+            prog = float(np.clip(np.log(t / tinit) / np.log(target / tinit), 0, 1)) \
+                if tinit < target else 1.0
+            progress(prog)
+            its_acc = np.zeros(L, dtype=np.int64)
+            while kappa > 1:
+                t1 = kappa * t
+                log("mgb_core", f"k={k} t={t} kappa={kappa} t1={t1}")
+                fin = finalize if t1 >= target else None
+                z_try, z_unf_try, its, conv = mgb_step(
+                    kern, z, wc_at(t1), bw, args, maxit=maxit,
+                    max_newton=max_newton, stopping=stopping, finalize=fin, log=log)
+                its_acc += its
+                if conv:
+                    if its.max() <= max_newton * 0.5:
+                        log("mgb_core", "increasing t step size")
+                        kappa = min(kappa0, kappa ** 2)
+                    z, z_unf = z_try, z_unf_try
+                    t = t1
+                    break
+                log("mgb_core", "t refinement failed, shrinking kappa")
+                kappa = np.sqrt(kappa)
+            record(t, kappa, its_acc, z)
+        converged = (t >= target) or _early(early_stop, z, t)
     if not converged:
         code = "stall" if kappa <= 1 else "iteration_limit"
         raise MGBConvergenceFailure(
@@ -416,6 +604,8 @@ def make_feasibility_fs(cobarrier, NC: int):
                 + (-Log(R - v) - Log(R + v)).sum())
 
     def F1(*aa):
+        from ..ops.ddarray import cat
+
         y = aa[-1]
         b, R = aa[-3], aa[-2]
         args = aa[:-3]
@@ -425,9 +615,11 @@ def make_feasibility_fs(cobarrier, NC: int):
         gc = C1(*args, yc)
         gs = 1.0 / (b - u) - 1.0 / (b + u)
         gv = 1.0 / (R - v) - 1.0 / (R + v)
-        return jnp.concatenate([gc[:NC - 1], (gc[NC - 1] + gs)[None], gv])
+        return cat([gc[:NC - 1], (gc[NC - 1] + gs)[None], gv])
 
     def F2(*aa):
+        from ..ops import ddarray
+
         y = aa[-1]
         b, R = aa[-3], aa[-2]
         args = aa[:-3]
@@ -435,10 +627,12 @@ def make_feasibility_fs(cobarrier, NC: int):
         u = yc[NC - 1]
         v = y[NC:]
         Hc = C2(*args, yc)
-        hs = 1.0 / (b - u) ** 2 + 1.0 / (b + u) ** 2
-        hv = 1.0 / (R - v) ** 2 + 1.0 / (R + v) ** 2
+        ibm, ibp = 1.0 / (b - u), 1.0 / (b + u)
+        ivm, ivp = 1.0 / (R - v), 1.0 / (R + v)
+        hs = ibm * ibm + ibp * ibp
+        hv = ivm * ivm + ivp * ivp
         NF = y.shape[0]
-        H = jnp.zeros((NF, NF), dtype=y.dtype)
+        H = ddarray.zeros((NF, NF), like=y)
         H = H.at[:NC, :NC].set(Hc)
         H = H.at[NC - 1, NC - 1].add(hs)
         H = H.at[jnp.arange(NC, NF), jnp.arange(NC, NF)].add(hv)
@@ -457,11 +651,11 @@ def _matched_t(kern: ProblemKernels, z, c, t_default, args, *, w, bw, log):
     l = L - 1
     ops = kern.ops(l)
     dtype = kern.dtype
-    Dz0 = kern.M.apply_D_full(z).astype(dtype)
+    Dz0 = kern._Dz0_for(z)
     s0 = jnp.zeros((ops.n_J,), dtype=dtype)
     zero_wc = jnp.zeros((len(w), c.shape[1]), dtype=dtype)
     wcc = jnp.asarray((w[:, None] * c).astype(dtype))
-    d, b = kern._matched(s0, zero_wc, wcc, ops, jnp.asarray(Dz0),
+    d, b = kern._matched(s0, zero_wc, wcc, ops, Dz0,
                          jnp.asarray(bw.astype(dtype)), *args)
     d, b = float(d), float(b)
     if not (np.isfinite(d) and np.isfinite(b) and d > 0):
@@ -469,7 +663,7 @@ def _matched_t(kern: ProblemKernels, z, c, t_default, args, *, w, bw, log):
     tstar = -b / (2 * d)
     if not (np.isfinite(tstar) and tstar > 0):
         return t_default
-    tm = float(np.clip(tstar, np.sqrt(dtype_eps(kern.dtype)), t_default))
+    tm = float(np.clip(tstar, np.sqrt(effective_eps(kern.dtype)), t_default))
     log("_matched_t", f"warm start matches t={tstar}, starting main ramp at t={tm}")
     return tm
 
@@ -486,7 +680,9 @@ def mgb_driver(Mpair, f_grid, g_grid, Q: Convex, *, tol=None, t=0.1,
                mesh=None):
     M1, M2 = Mpair
     dtype = dtype or np.asarray(f_grid).dtype
-    epsT = dtype_eps(dtype)
+    # the dd path solves to the reference's Float64 tolerance (validated:
+    # f32/dd matches the f64 solution to ~7e-9 at the same Newton counts)
+    epsT = effective_eps(dtype)
     tol = tol if tol is not None else float(np.sqrt(epsT))
     t_feasibility = t_feasibility if t_feasibility is not None else t
     feasibility_Rmax = feasibility_Rmax if feasibility_Rmax is not None \
@@ -498,18 +694,10 @@ def mgb_driver(Mpair, f_grid, g_grid, Q: Convex, *, tol=None, t=0.1,
     if stopping_criterion is None:
         # flat-averaged barrier has self-concordance constant sqrt(n):
         # lambda < eta/sqrt(n) with eta = 1/4 (reference src/mgb.jl:348-360).
-        # The float32/df64 path floors its computed decrement slightly higher
-        # (TPU transcendental accuracy in the per-node gradients); eta = 1/2
-        # still certifies the quadratic-convergence region and halves the
-        # wasted just-missed-the-cap iterations.
-        if np.dtype(dtype) == np.float32:
-            # the computed decrement floors at ~3e-3 regardless of n (f32
-            # transcendental noise in the per-node gradients); without the
-            # absolute floor, lambda_tol ~ 1/sqrt(n) becomes unreachable at
-            # ~1e4 nodes and every fine-level step fails into kappa thrash
-            lam = max(0.5 / np.sqrt(len(M1.w)), 3.5e-3)
-        else:
-            lam = 0.25 / np.sqrt(len(M1.w))
+        # The float32/TPU path evaluates the per-node barrier derivatives in
+        # double-float (solver/barrier.py), so the computed decrement is
+        # trustworthy at this scale — no absolute floor is needed.
+        lam = 0.25 / np.sqrt(len(M1.w))
         stopping_criterion = stopping_inexact(lam, 0.9)
     if line_search is None:
         line_search = linesearch_backtracking()
@@ -562,14 +750,10 @@ def mgb_driver(Mpair, f_grid, g_grid, Q: Convex, *, tol=None, t=0.1,
             log("mgb_driver", f"feasibility phase with bounding box R={Rbox}")
             args_feas = tuple(Q.args) + (
                 jnp.full((m,), b, dtype=dtype), jnp.full((m,), Rbox, dtype=dtype))
-            t_first = [np.inf]
-
-            def feas_stop(zz, tv):
-                if not feasible(zz):
-                    return False
-                t_first[0] = min(t_first[0], tv)
-                return tv >= 2 * t_first[0]
-
+            # structured early stop: mgb_core fuses the feasibility check
+            # (max slack < 0 over this z block) and the 2*t_first margin
+            # into the on-device ramp
+            feas_stop = ("feasibility", (nu * m, (nu + 1) * m))
             failure = None
             try:
                 SOL_feasibility = mgb_core(

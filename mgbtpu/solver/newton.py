@@ -390,9 +390,10 @@ def _illinois_ls(Y, f0, f1, fargs, x, y, g, n_dir, inc, beta):
     return xb, yb, gb
 
 
-def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
-                solve=None, dd=False):
-    """Build the jitted Newton runner.
+def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
+                     solve=None, dd=False):
+    """Build the un-jitted Newton loop for embedding into larger programs
+    (the fused t-ramp kernel jits a whole path-following loop around it).
 
     Returned fn signature:
     ``newton(x0, fargs, maxit, lambda_tol, theta) -> (x, y, k, status)``
@@ -417,11 +418,11 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         return a @ b
 
     # Roundoff floor for the lambda^2 <= 0 convergence test: in dd mode the
-    # decrement noise is set by the float32 *evaluation* of the per-node
-    # Hessian blocks, not by eps(|y|); widen the floor accordingly.
-    floor_scale = 32.0 if dd else 1.0
+    # per-node derivatives are double-float (solver/barrier.py) and the Gram
+    # solve keeps inc > 0 structurally; a small multiple of eps(f32) absorbs
+    # the residual f32 narrowing noise of the assembled gradient.
+    floor_scale = 4.0 if dd else 1.0
 
-    @jax.jit
     def newton(x0, fargs, maxit, lambda_tol, theta):
         dtype = x0.dtype
         epsT = jnp.finfo(dtype).eps * floor_scale
@@ -500,3 +501,10 @@ def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         return x, Y.value(y), k, status
 
     return newton
+
+
+def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
+                solve=None, dd=False):
+    """The jitted Newton runner (see ``make_newton_core`` for the contract)."""
+    return jax.jit(make_newton_core(f0, f1, f2, line_search=line_search,
+                                    solve=solve, dd=dd))

@@ -1,0 +1,194 @@
+"""Fused on-device t-ramp: the whole path-following loop in one program.
+
+The round-1 profile showed ~0.1 s of host<->TPU dispatch per Newton call
+(through the axon tunnel) against ~16 ms of device time per iteration: the
+t-ramp's cost was round trips, not compute. This kernel runs the reference's
+``mgb_core`` inner loop (``src/mgb.jl:91-183``) entirely on device at the
+finest level — carrying (z, Dz, t, kappa) through a ``lax.while_loop`` whose
+body is a full damped-Newton centering — and exits to the host only when:
+
+- the target t is reached (optionally after an on-device finalize pass),
+- the phase-I early-stop fires (feasible and t >= 2 t_first, the reference's
+  duality-gap margin, ``src/mgb.jl:478-495``), or
+- a centering fails: the host then runs the classic ``mgb_step`` divide &
+  conquer for that one t (coarse-level bisection is inherently level-shaped
+  and rare) and re-enters the kernel.
+
+The common path (every centering succeeds at the fine level — exactly the
+reference's common path, whose ``divide_and_conquer`` tries the direct
+coarse->fine jump first) costs ONE round trip for the entire ramp.
+
+State carried on device: z (fine stacked broken coefficients, updated by an
+ELL matvec with R_fine), Dz (updated incrementally by the panel apply_G so
+no sparse D matvec is needed), t, kappa, t_first, and fixed-size history
+arrays (ts / its / kappas / c.Dz) written at accepted steps.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .newton import CONVERGED, make_newton_core
+
+# ramp exit statuses
+R_RUNNING, R_TARGET, R_EARLY, R_NEED_HELP = range(4)
+
+HIST = 512  # per-chunk history capacity (and outer-step bound per call)
+
+
+def make_ramp(fns, *, line_search, dd, feas_block=None, finalize_on=True):
+    """Build the jitted ramp kernel.
+
+    ``fns``: (f0, f1, f2) level functions (signature f(s, ops, Dz0, wc, bw,
+    *args)); ``feas_block``: static (lo, hi) slice of z holding the phase-I
+    slack values (enables the on-device feasibility early stop);
+    ``finalize_on``: run the exact-stopping polish pass on device when the
+    step reaches the target t (its failure rejects the step, matching the
+    host semantics where finalize is part of ``mgb_step``).
+    """
+    newton_core = make_newton_core(*fns, line_search=line_search, dd=dd)
+
+    def adv_Dz(ops, Dz0, x):
+        return Dz0 + (ops.apply_G_dd(x) if dd else ops.apply_G(x))
+
+    def adv_z(R_ell, z, x):
+        return z + (R_ell.mv_dd(x) if dd else R_ell.mv(x))
+
+    @jax.jit
+    def ramp(z, Dz0, R_ell, ops, wcc, bw, args, t, kappa, t_first,
+             target, kappa0, max_newton, lambda_tol, theta,
+             fin_maxit, fin_theta, max_steps):
+        dtype = z.dtype
+        n_J = ops.n_J
+        x0 = jnp.zeros((n_J,), dtype)
+        one = jnp.asarray(1.0, dtype)
+
+        def wr(a, idx, pred, v):
+            return a.at[idx].set(jnp.where(pred, v, a[idx]))
+
+        def cond(c):
+            (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
+             h_its, h_ts, h_kap, h_cdz, status) = c
+            return (status == R_RUNNING) & (k_att < max_steps) & (nrec < HIST)
+
+        def body(c):
+            (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
+             h_its, h_ts, h_kap, h_cdz, status) = c
+            t1 = kappa * t
+            wc = t1 * wcc
+            x, y, kits, nst = newton_core(
+                x0, (ops, Dz0, wc, bw) + args, max_newton, lambda_tol, theta)
+            conv = nst == CONVERGED
+            Dz0n = adv_Dz(ops, Dz0, x)
+            zn = adv_z(R_ell, z, x)
+            reach = t1 >= target
+
+            if finalize_on:
+                def run_fin(_):
+                    xf, yf, kf, stf = newton_core(
+                        x0, (ops, Dz0n, wc, bw) + args, fin_maxit, -one,
+                        fin_theta)
+                    return xf, kf, stf
+
+                def skip_fin(_):
+                    return (x0, jnp.asarray(0, jnp.int32),
+                            jnp.asarray(CONVERGED, jnp.int32))
+
+                xf, kf, stf = lax.cond(reach & conv, run_fin, skip_fin, None)
+                z_fin = adv_z(R_ell, zn, xf)
+                Dz0f = adv_Dz(ops, Dz0n, xf)
+                kits_tot = kits + kf
+                conv_all = conv & jnp.where(reach, stf == CONVERGED, True)
+            else:
+                z_fin, Dz0f, kits_tot, conv_all = zn, Dz0n, kits, conv
+
+            kap_n = jnp.where(kits_tot <= max_newton * 0.5,
+                              jnp.minimum(kappa0, kappa * kappa), kappa)
+
+            if feas_block is not None:
+                lo, hi = feas_block
+                zs = z_fin[lo:hi]
+                if dd:
+                    zs = zs.fl()
+                feas_now = jnp.max(zs) < 0
+                t_first_n = jnp.where(feas_now, jnp.minimum(t_first, t1),
+                                      t_first)
+                stop_early = feas_now & (t1 >= 2 * t_first_n)
+            else:
+                t_first_n = t_first
+                stop_early = jnp.asarray(False)
+
+            status_n = jnp.where(
+                ~conv_all, R_NEED_HELP,
+                jnp.where(stop_early, R_EARLY,
+                          jnp.where(reach, R_TARGET, R_RUNNING))
+            ).astype(jnp.int32)
+
+            # record history at accepted steps
+            rec = conv_all
+            idx = jnp.minimum(nrec, HIST - 1)
+            from ..ops.ddarray import fl
+            cdz = jnp.sum(wcc * fl(Dz0f))
+            h_its = wr(h_its, idx, rec, kits_tot)
+            h_ts = wr(h_ts, idx, rec, t1)
+            h_kap = wr(h_kap, idx, rec, kap_n)
+            h_cdz = wr(h_cdz, idx, rec, cdz)
+            nrec_n = nrec + rec.astype(jnp.int32)
+
+            sel = lambda a, b: jax.tree_util.tree_map(
+                lambda p, q: jnp.where(conv_all, p, q), a, b)
+            return (sel(z_fin, z), sel(zn, z_unf), sel(Dz0f, Dz0),
+                    jnp.where(conv_all, t1, t),
+                    jnp.where(conv_all, kap_n, kappa), t_first_n,
+                    k_att + 1, nrec_n, kits_tot,
+                    h_its, h_ts, h_kap, h_cdz, status_n)
+
+        zeros_h = jnp.zeros((HIST,), dtype)
+        init = (z, z, Dz0, t, kappa, t_first,
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                jnp.zeros((HIST,), jnp.int32), zeros_h, zeros_h, zeros_h,
+                jnp.asarray(R_RUNNING, jnp.int32))
+        out = lax.while_loop(cond, body, init)
+        (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
+         h_its, h_ts, h_kap, h_cdz, status) = out
+        return dict(z=z, z_unf=z_unf, Dz0=Dz0, t=t, kappa=kappa,
+                    t_first=t_first, k_att=k_att, nrec=nrec,
+                    last_its=last_its, h_its=h_its, h_ts=h_ts, h_kap=h_kap,
+                    h_cdz=h_cdz, status=status)
+
+    return ramp
+
+
+class RampChunk:
+    """Host-side view of one ramp-kernel invocation."""
+
+    def __init__(self, out):
+        self.status = int(out["status"])
+        self.t = float(out["t"])
+        self.kappa = float(out["kappa"])
+        self.t_first = float(out["t_first"])
+        self.k_att = int(out["k_att"])
+        self.nrec = int(out["nrec"])
+        self.last_its = int(out["last_its"])
+        n = self.nrec
+        self.its = np.asarray(out["h_its"])[:n]
+        self.ts = np.asarray(out["h_ts"])[:n]
+        self.kappas = np.asarray(out["h_kap"])[:n]
+        self.cdz = np.asarray(out["h_cdz"])[:n]
+        self._z = out["z"]
+        self._z_unf = out["z_unf"]
+
+    @property
+    def z(self):
+        from ..ops.ddarray import fl
+
+        return np.asarray(fl(self._z))
+
+    @property
+    def z_unf(self):
+        from ..ops.ddarray import fl
+
+        return np.asarray(fl(self._z_unf))

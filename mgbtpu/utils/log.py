@@ -13,7 +13,15 @@ import jax.numpy as jnp
 
 
 def Log(x):
-    """log(x) for x > 0, else -inf (never raises, jit-safe)."""
+    """log(x) for x > 0, else -inf (never raises, jit-safe).
+
+    Dispatches on the input kind: a ``DD`` double-float input (the f32/TPU
+    barrier-derivative path) is evaluated in double-float.
+    """
+    from ..ops.ddarray import DD, dd_log
+
+    if isinstance(x, DD):
+        return dd_log(x)
     x = jnp.asarray(x)
     return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), -jnp.inf)
 
@@ -24,8 +32,14 @@ def safe_pow(s, alpha):
     For s <= 0 and alpha > 0 this yields 0 (so enclosing barrier terms go
     +/-inf and the trial point is rejected) instead of a NaN from a negative
     base with fractional exponent. Mirrors reference
-    ``src/convex_linear.jl:379-391`` (``_safe_pow``).
+    ``src/convex_linear.jl:379-391`` (``_safe_pow``). DD inputs evaluate in
+    double-float (the residual s^a - |q|^2 is the solver's dominant
+    cancellation; see ``ops/ddarray.py``).
     """
+    from ..ops.ddarray import DD
+
+    if isinstance(s, DD):
+        return s ** alpha
     return jnp.exp(alpha * Log(s))
 
 

@@ -11,8 +11,12 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_use_fusion_emitters" not in flags:
+    # jaxlib 0.9.0 XLA:CPU fusion emitters infinite-loop on the df64 barrier
+    # graphs (see mgbtpu/_config.py)
+    flags = (flags + " --xla_cpu_use_fusion_emitters=false").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

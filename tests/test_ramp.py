@@ -1,0 +1,51 @@
+"""Fused on-device t-ramp vs the classic host-stepped loop.
+
+The TPU path runs the whole path-following loop in one jitted program
+(``solver/ramp.py``); these tests force it on CPU (MGBTPU_FUSED_RAMP=1) and
+require bit-level agreement of the trajectory endpoints with the host loop,
+plus the phase-I early stop through the fused feasibility check.
+"""
+import io
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def fused(monkeypatch):
+    monkeypatch.setenv("MGBTPU_FUSED_RAMP", "1")
+
+
+def test_fused_matches_host_loop(fused, monkeypatch):
+    from mgbtpu import amg, assemble, fem1d, mgb_solve, subdivide
+
+    geom = subdivide(fem1d(dtype=np.float64), 1)
+    mg = amg(geom)
+    buf = io.StringIO()
+    sol_f = mgb_solve(assemble(mg, p=1.5, dtype=np.float64), logfile=buf)
+    assert "fused ramp chunk" in buf.getvalue()
+
+    monkeypatch.setenv("MGBTPU_FUSED_RAMP", "0")
+    sol_h = mgb_solve(assemble(mg, p=1.5, dtype=np.float64))
+    assert np.abs(sol_f.z - sol_h.z).max() < 1e-10
+    # same t-trajectory endpoints and comparable step counts
+    assert sol_f.SOL_main["ts"][-1] == sol_h.SOL_main["ts"][-1]
+    assert abs(len(sol_f.SOL_main["ts"]) - len(sol_h.SOL_main["ts"])) <= 1
+
+
+def test_fused_phase1_early_stop(fused):
+    """Infeasible start: phase I must run its fused feasibility ramp and
+    stop at the 2*t_first margin, then the main solve proceeds."""
+    from mgbtpu import amg, assemble, fem1d, mgb_solve, subdivide
+
+    geom = subdivide(fem1d(dtype=np.float64), 1)
+    mg = amg(geom)
+    # g puts the slack below the cone: |u'|^1.5 > s at the start
+    prob = assemble(mg, p=1.5,
+                    g=lambda x: np.array([x[0], 0.01]))
+    buf = io.StringIO()
+    sol = mgb_solve(prob, logfile=buf)
+    log = buf.getvalue()
+    assert "entering phase I" in log
+    assert sol.SOL_feasibility is not None
+    assert np.all(np.isfinite(sol.z))
