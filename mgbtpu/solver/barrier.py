@@ -84,26 +84,41 @@ def make_level_fns(Fs):
         yh = jnp.where(bw[:, None] != 0, yh, 0.0)
         yl = jnp.where(bw[:, None] != 0, yl, 0.0)
         yh, yl = df64.dd_add((yh, yl), (wc, jnp.zeros_like(wc)))
-        return ops.apply_Gt(DD(yh, yl))
+        # the gradient stays a DD vector all the way into the Newton solve
+        # (f32 narrowing would be amplified by the ~t-conditioned solve)
+        return ops.apply_Gt_dd(DD(yh, yl))
 
     def f2(s, ops, Dz0, wc, bw, *args):
         from .levelops import GramHessian
 
         Dz = _Dz(s, ops, Dz0)
         hv = jax.vmap(F2)(*args, Dz)
-        from ..ops.ddarray import fl
-
-        hv = fl(hv)  # narrow a DD Hessian to plain (values stay accurate)
-        Y = jnp.where(bw[:, None, None] != 0, bw[:, None, None] * hv, 0.0)
-        if ops.pcg_ctx is not None:
-            # large level: matrix-free Gram Hessian, solved by multigrid-
-            # preconditioned CG (no dense factorization at this size)
-            return GramHessian(ops=ops, Lnode=node_factors(Y), ctx=ops.pcg_ctx)
         if not ops.dd:
+            Y = jnp.where(bw[:, None, None] != 0, bw[:, None, None] * hv, 0.0)
+            if ops.pcg_ctx is not None:
+                # large level: matrix-free Gram Hessian, solved by multigrid-
+                # preconditioned CG (no dense factorization at this size)
+                return GramHessian(ops=ops, Lnode=node_factors(Y),
+                                   ctx=ops.pcg_ctx)
             return ops.assemble_dense(Y)
-        # float32 path: dense Gram-form assembly — PSD by construction
-        # instead of indefinite at the ~1e-3 level from f32 accumulation
-        return ops.assemble_gram(node_factors(Y))
+        # float32 path: the per-node Hessian blocks stay in double-float all
+        # the way into the assembly/matvec — narrowing them to f32 is an
+        # eps(f32)-componentwise perturbation that the Newton solve amplifies
+        # by the equilibrated condition number ~ t (the round-2 stall at
+        # t ~ 3e5). The f32 narrowed blocks serve only the preconditioner.
+        from ..ops import df64
+        from ..ops.ddarray import DD
+
+        if not isinstance(hv, DD):
+            hv = DD(hv)
+        Yh, Yl = df64.dd_mul_f((hv.hi, hv.lo), bw[:, None, None])
+        mask = bw[:, None, None] != 0
+        Ydd = DD(jnp.where(mask, Yh, 0.0), jnp.where(mask, Yl, 0.0))
+        if ops.pcg_ctx is not None:
+            Y32 = Ydd.fl()
+            return GramHessian(ops=ops, Lnode=node_factors(Y32),
+                               ctx=ops.pcg_ctx, Ydd=Ydd)
+        return ops.assemble_dd(Ydd)
 
     return f0, f1, f2
 

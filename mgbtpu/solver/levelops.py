@@ -38,6 +38,14 @@ class PanelOps:
     C: int
     dd: bool = False       # double-float reductions (the float32/TPU path)
     pcg_ctx: object = None  # PCGContext for levels above the dense threshold
+    # element coloring: tuple of int32 index arrays partitioning the element
+    # axis so that no two elements of one color share a level column. Within
+    # a color a scatter-add is collision-free (exact placement); colors are
+    # then combined with dd adds, making the Hessian/matvec scatters exact
+    # to double-float. Plain f32 scatter-adds across elements would inject
+    # eps_f32-relative noise into H, which the Newton solve amplifies by the
+    # equilibrated condition number ~ t near the central path.
+    colors: tuple = ()
 
     def apply_G(self, s):
         """(n_J,) level coefficients -> (n_nodes, nD) operator values."""
@@ -102,6 +110,27 @@ class PanelOps:
         zl = jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(lo)
         return zh + zl
 
+    def apply_Gt_dd(self, Y):
+        """Adjoint like ``apply_Gt`` but returning a DD vector with an exact
+        colored scatter. The assembled gradient must stay double-float into
+        the Newton solve: an f32-narrowed g is a relative-eps(f32)
+        perturbation whose solve error ||H^-1 dg|| is amplified by the
+        equilibrated condition ~ t (the residual stall at t ~ 3e7)."""
+        from ..ops import df64
+        from ..ops.ddarray import DD
+
+        if isinstance(Y, DD):
+            Yh = Y.hi.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
+            Yl = Y.lo.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
+        else:
+            Yh = Y.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
+            Yl = jnp.zeros_like(Yh)
+        ph, pe = df64.two_prod(self.panels, Yh[:, :, :, None])
+        pe = pe + self.panels * Yl[:, :, :, None]
+        hi, lo = df64.dd_tree_sum((ph, pe), axis=2)          # (k, N, C)
+        hi, lo = df64.dd_tree_sum((hi, lo), axis=0)          # (N, C)
+        return DD(*self.scatter_vec_dd(hi, lo))
+
     def assemble_dense(self, Ynode):
         """(n_nodes, nD, nD) per-node Hessian values -> dense (n_J, n_J).
 
@@ -136,6 +165,81 @@ class PanelOps:
         Hl_s = jnp.zeros((self.n_J, self.n_J), dtype=Ynode.dtype)
         Hl_s = Hl_s.at[self.cols[:, :, None], self.cols[:, None, :]].add(Hl)
         return H + Hl_s
+
+    def scatter_mat_dd(self, Hh, Hl):
+        """Exact dd scatter of per-element (N, C, C) dd blocks into a dense
+        DD (n_J, n_J): per color the placement is collision-free, colors
+        combine with dd adds."""
+        from ..ops import df64
+        from ..ops.ddarray import DD
+
+        dtype = Hh.dtype
+        acc = None
+        for idx in (self.colors or (jnp.arange(self.N, dtype=jnp.int32),)):
+            cc = self.cols[idx]
+            ch = jnp.zeros((self.n_J, self.n_J), dtype=dtype)
+            ch = ch.at[cc[:, :, None], cc[:, None, :]].add(Hh[idx])
+            cl = jnp.zeros((self.n_J, self.n_J), dtype=dtype)
+            cl = cl.at[cc[:, :, None], cc[:, None, :]].add(Hl[idx])
+            acc = (ch, cl) if acc is None else df64.dd_add(acc, (ch, cl))
+        return DD(*acc)
+
+    def scatter_vec_dd(self, vh, vl):
+        """Exact dd scatter of per-element (N, C) dd contributions into a dd
+        (n_J,) vector (colored, see scatter_mat_dd)."""
+        from ..ops import df64
+
+        dtype = vh.dtype
+        acc = None
+        for idx in (self.colors or (jnp.arange(self.N, dtype=jnp.int32),)):
+            cc = self.cols[idx]
+            ch = jnp.zeros((self.n_J,), dtype=dtype).at[cc].add(vh[idx])
+            cl = jnp.zeros((self.n_J,), dtype=dtype).at[cc].add(vl[idx])
+            acc = (ch, cl) if acc is None else df64.dd_add(acc, (ch, cl))
+        return acc
+
+    def assemble_gram_dd(self, Lnode):
+        """Gram-form Hessian assembled in double-float: H = B^T B with
+        B = L^T P in f32 (B's rounding is a nearby-problem perturbation; the
+        Gram SYRK of THIS B is then computed exactly to ~2^-48). Returns a
+        DD (n_J, n_J) matrix. The dd representation is what lets the f32
+        Newton solve reach t ~ 1/eps(f64): the equilibrated f32 Cholesky is
+        only a *preconditioner*, while iterative refinement iterates against
+        the dd matvec (see newton.gram_dd_solve)."""
+        from ..ops import df64
+
+        Lr = Lnode.reshape(self.N, self.p, self.nD, self.nD)
+        B = jnp.einsum("jNpc,Npji->Npic", self.panels, Lr)
+        Bf = B.reshape(self.N, self.p * self.nD, self.C)
+        ph, pe = df64.two_prod(Bf[:, :, :, None], Bf[:, :, None, :])
+        Hh, Hl = df64.dd_tree_sum((ph, pe), axis=1)          # (N, C, C)
+        return self.scatter_mat_dd(Hh, Hl)
+
+    def assemble_dd(self, Ydd):
+        """Dense triple-product assembly H = P^T Y P with the per-node
+        Hessian blocks Y as a DD (n_nodes, nD, nD): every contraction runs
+        in double-float and the scatter is exact (colored). The node blocks
+        must NOT be narrowed to f32 on the way in: near the central path an
+        eps(f32)-componentwise Hessian perturbation is amplified by the
+        equilibrated condition number ~ t, which is exactly the round-2 TPU
+        stall at t ~ 3e5 (f32 node values -> O(1) direction error there)."""
+        from ..ops import df64
+
+        Yh = Ydd.hi.reshape(self.N, self.p, self.nD, self.nD)
+        Yl = Ydd.lo.reshape(self.N, self.p, self.nD, self.nD)
+        Pj = self.panels.transpose(1, 2, 0, 3)               # (N, p, j, C)
+        # B[N, p, i, C] = sum_j Y[i, j] panels[j]
+        bh, be = df64.two_prod(Yh[..., None], Pj[:, :, None, :, :])
+        be = be + Yl[..., None] * Pj[:, :, None, :, :]
+        Bh, Bl = df64.dd_tree_sum((bh, be), axis=3)          # (N, p, i, C)
+        # He[N, c, d] = sum_{p, i} panels[i, N, p, c] B[N, p, i, d]
+        Pi = self.panels.transpose(1, 2, 0, 3)               # (N, p, i, C)
+        th, te = df64.two_prod(Pi[..., :, None], Bh[..., None, :])
+        te = te + Pi[..., :, None] * Bl[..., None, :]
+        th = th.reshape(self.N, self.p * self.nD, self.C, self.C)
+        te = te.reshape(self.N, self.p * self.nD, self.C, self.C)
+        Hh, Hl = df64.dd_tree_sum((th, te), axis=1)          # (N, C, C)
+        return self.scatter_mat_dd(Hh, Hl)
 
     def assemble_gram(self, Lnode):
         """Gram-form Hessian assembly: given per-node lower factors L with
@@ -235,10 +339,13 @@ class GramHessian:
     """Matrix-free Hessian in Gram form: H = (L^T P)^T (L^T P); carries the
     level ops, per-node factors, and the V-cycle context. Returned by the
     barrier f2 on levels above the dense threshold; the Newton solve
-    dispatches on this type to PCG."""
+    dispatches on this type to PCG. On the dd path ``Ydd`` holds the
+    double-float per-node blocks bw*F2 for the refinement residual matvec
+    (the f32 Lnode factors serve only the V-cycle preconditioner)."""
     ops: PanelOps
     Lnode: jnp.ndarray      # (n_nodes, nD, nD) lower factors of bw*F2
     ctx: PCGContext
+    Ydd: object = None      # DD (n_nodes, nD, nD) or None
 
     def mv(self, v):
         return gram_matvec(self.ops, self.Lnode, v)
@@ -263,6 +370,33 @@ def gram_matvec(ops: PanelOps, Lnode, v):
     Y = jnp.einsum("Npji,Npi->Npj", Lr, Bv)                 # back through L
     contrib = jnp.einsum("kNpc,Npk->Nc", ops.panels, Y)
     return jnp.zeros((ops.n_J,), dtype=v.dtype).at[ops.cols].add(contrib)
+
+
+def y_matvec_dd(ops: PanelOps, Ydd, v):
+    """H v = P^T Y (P v) with the per-node blocks Y in double-float,
+    computed in dd end to end (error-free products, dd tree reductions,
+    exact colored scatter). Returns an (hi, lo) pair. Used for the outer
+    iterative-refinement residuals of the matrix-free Newton solve at
+    levels too large to factorize: the f32 V-cycle-preconditioned CG is
+    only the corrector (see newton.pcg_solve), so neither its rounding nor
+    any f32 narrowing of the node blocks limits the direction accuracy."""
+    from ..ops import df64
+
+    Dz = ops.apply_G_dd(v)                                   # DD (m, nD)
+    Yh = Ydd.hi.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    Yl = Ydd.lo.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    Dzh = Dz.hi.reshape(ops.N, ops.p, ops.nD)
+    Dzl = Dz.lo.reshape(ops.N, ops.p, ops.nD)
+    # W_i = sum_j Y[i, j] Dz_j per node, in dd
+    ph, pe = df64.two_prod(Yh, Dzh[:, :, None, :])
+    pe = pe + Yh * Dzl[:, :, None, :] + Yl * Dzh[:, :, None, :]
+    Wh, Wl = df64.dd_tree_sum((ph, pe), axis=3)              # (N, p, i)
+    # adjoint contraction: contrib[e, c] = sum_{p, i} panels[i,e,p,c] W[e,p,i]
+    rh, re = df64.two_prod(ops.panels, Wh.transpose(2, 0, 1)[:, :, :, None])
+    re = re + ops.panels * Wl.transpose(2, 0, 1)[:, :, :, None]
+    sh, sl = df64.dd_tree_sum((rh, re), axis=2)              # (k, N, C)
+    sh, sl = df64.dd_tree_sum((sh, sl), axis=0)              # (N, C)
+    return ops.scatter_vec_dd(sh, sl)
 
 
 def gram_diag(ops: PanelOps, Lnode):
@@ -327,10 +461,44 @@ def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
         # slot of each col within its element's sorted column list
         slot = _vector_slots(cols, counts, e, coo.col)
         panels[k, e, i, slot] += coo.data
+    colors = ()
+    if dd:
+        colors = tuple(jnp.asarray(ix, jnp.int32)
+                       for ix in _color_elements(cols, N))
     return PanelOps(
         cols=jnp.asarray(cols, dtype=jnp.int32),
         panels=jnp.asarray(panels),
-        n_nodes=m, nD=nD, n_J=n_J, p=p, N=N, C=C, dd=dd)
+        n_nodes=m, nD=nD, n_J=n_J, p=p, N=N, C=C, dd=dd, colors=colors)
+
+
+def _color_elements(cols: np.ndarray, N: int):
+    """Greedy element coloring: no two same-color elements share a level
+    column, so per-color scatter-adds are collision-free (used for the
+    exact dd Hessian/matvec scatters). Padding columns count as conflicts
+    (slight over-coloring, never incorrect)."""
+    if N <= 1:
+        return (np.arange(max(N, 0), dtype=np.int32),)
+    C = cols.shape[1]
+    flat_c = cols.reshape(-1)
+    flat_e = np.repeat(np.arange(N, dtype=np.int64), C)
+    order = np.argsort(flat_c, kind="stable")
+    fc, fe = flat_c[order], flat_e[order]
+    ncol = int(fc.max()) + 1 if len(fc) else 0
+    starts = np.searchsorted(fc, np.arange(ncol + 1))
+    color = np.full(N, -1, dtype=np.int64)
+    for e in range(N):
+        used = 0
+        for c in np.unique(cols[e]):
+            for ne in fe[starts[c]:starts[c + 1]]:
+                cc = color[ne]
+                if cc >= 0:
+                    used |= 1 << int(cc)
+        k = 0
+        while (used >> k) & 1:
+            k += 1
+        color[e] = k
+    K = int(color.max()) + 1
+    return tuple(np.where(color == k)[0].astype(np.int32) for k in range(K))
 
 
 def _vector_slots(cols, counts, e, c):

@@ -123,9 +123,9 @@ class ProblemKernels:
         _, _f1, _f2 = self.fns
 
         def _matched(s0, wc0, wcc, ops, Dz0, bw, *args):
+            from ..ops.ddarray import DD
             from .levelops import GramHessian
-            from .newton import (equilibrated_solve, gram_cholesky_solve,
-                                 pcg_solve)
+            from .newton import (equilibrated_solve, gram_dd_solve, pcg_solve)
 
             fa0 = (ops, Dz0, wc0, bw) + args
             fac = (ops, Dz0, wcc, bw) + args
@@ -134,11 +134,15 @@ class ProblemKernels:
             H = _f2(s0, *fac)
             if isinstance(H, GramHessian):
                 solve = pcg_solve
+            elif isinstance(H, DD):
+                solve = gram_dd_solve
             else:
-                solve = gram_cholesky_solve if self.dd else equilibrated_solve
+                solve = equilibrated_solve
             n_phi = solve(H, g_phi)
             n_c = solve(H, g_c)
-            return g_c @ n_c, g_phi @ n_c + g_c @ n_phi
+            from ..ops.ddarray import fl
+
+            return (fl(g_c @ n_c), fl(g_phi @ n_c) + fl(g_c @ n_phi))
 
         self._matched = jax.jit(_matched)
 

@@ -85,6 +85,61 @@ class _DDY:
         return df64.s_isfinite(y)
 
 
+class _PlainG:
+    """Gradient vectors as plain arrays (the float64 path)."""
+    @staticmethod
+    def fl(g):
+        return g
+
+    @staticmethod
+    def finite(g):
+        return jnp.all(jnp.isfinite(g))
+
+    @staticmethod
+    def norm(g):
+        return jnp.linalg.norm(g)
+
+    @staticmethod
+    def dot(g, n):
+        return g @ n
+
+    @staticmethod
+    def sel(pred, a, b):
+        return jnp.where(pred, a, b)
+
+
+class _DDG:
+    """Gradient vectors as DD pairs (the float32/TPU path): the assembled
+    gradient must reach the Newton solve unnarrowed — an eps(f32)-relative
+    g perturbation costs ||H^-1 dg|| ~ eps * kappa_eq ~ eps * t in the
+    direction."""
+    @staticmethod
+    def fl(g):
+        return g.hi + g.lo
+
+    @staticmethod
+    def finite(g):
+        return jnp.all(jnp.isfinite(g.hi)) & jnp.all(jnp.isfinite(g.lo))
+
+    @staticmethod
+    def norm(g):
+        return jnp.linalg.norm(g.hi + g.lo)
+
+    @staticmethod
+    def dot(g, n):
+        ph, pe = df64.two_prod(g.hi, n)
+        pe = pe + g.lo * n
+        hi, lo = df64.dd_tree_sum((ph, pe), axis=-1)
+        return hi + lo
+
+    @staticmethod
+    def sel(pred, a, b):
+        import jax
+
+        return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y),
+                                      a, b)
+
+
 def equilibrated_solve(H, g):
     """Dense symmetric solve: Jacobi equilibration + LU + iterative
     refinement.
@@ -136,6 +191,93 @@ def gram_cholesky_solve(H, g):
         r = (gs - hi) - lo
         x = x + cho_solve(cf, r)
     return dinv * x
+
+
+import os as _os
+
+IR_INNER = int(_os.environ.get("MGBTPU_IR_INNER", 12))
+IR_OUTER = int(_os.environ.get("MGBTPU_IR_OUTER", 3))
+
+
+def gram_dd_solve(Hdd, g, *, inner_iters=None, outer_iters=None):
+    """Mixed-precision solve of a double-float SPD system on f32 hardware.
+
+    The barrier Hessian near the central path has equilibrated condition
+    number ~ t; at the reference tolerance t ~ 1/eps(f64) ~ 6.7e7 this is
+    beyond what an f32 factorization can solve (kappa * eps_f32 > 1: plain
+    iterative refinement diverges — the round-2 TPU stall at t ~ 3e5). The
+    classic remedy (Carson-Higham GMRES-IR) is to use the f32 factorization
+    only as a *preconditioner* for a Krylov corrector whose matvec runs in
+    high precision: the preconditioned operator has kappa ~ 1 + kappa*eps_f32,
+    so CG converges in a handful of iterations, and an outer refinement loop
+    with double-float residuals (r = g - H x with H and x in dd) pushes the
+    forward error to the dd floor.
+
+    ``Hdd``: DD (n_J, n_J) Gram-assembled Hessian (exact to ~2^-48,
+    levelops.assemble_gram_dd). Cost is dominated by the one f32 Cholesky;
+    the correctors are O(n^2) matvecs.
+    """
+    import numpy as _np
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    from ..ops import df64
+    from ..ops.ddarray import DD
+
+    inner_iters = IR_INNER if inner_iters is None else inner_iters
+    outer_iters = IR_OUTER if outer_iters is None else outer_iters
+    if isinstance(g, DD):
+        g_pair = (g.hi, g.lo)
+    else:
+        g_pair = (g, jnp.zeros_like(g))
+    Hh, Hl = Hdd.hi, Hdd.lo
+    dtype = Hh.dtype
+    eps = float(_np.finfo(_np.dtype(dtype)).eps)
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(Hh)))
+    dinv = jnp.where(d > 0, 1.0 / d, 1.0)
+    Hs = Hh * (dinv[:, None] * dinv[None, :])
+    cf = cho_factor(Hs + jnp.asarray(16 * eps, dtype)
+                    * jnp.eye(Hh.shape[0], dtype=dtype))
+
+    def M(r):
+        return dinv * cho_solve(cf, dinv * r)
+
+    def mv32(x):
+        hi, lo = df64.dd_matvec(Hh, Hl, x)
+        return hi + lo
+
+    def ddot(a, b):
+        hi, lo = df64.dd_dot(a, b)
+        return hi + lo
+
+    def inner(r0):
+        z0 = M(r0)
+
+        def body(c, _):
+            x, r, z, p, rz = c
+            Hp = mv32(p)
+            pHp = ddot(p, Hp)
+            alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
+            x = x + alpha * p
+            r = r - alpha * Hp
+            z = M(r)
+            rz2 = ddot(r, z)
+            beta = jnp.where(rz != 0, rz2 / rz, 0.0)
+            return (x, r, z, z + beta * p, rz2), None
+
+        init = (jnp.zeros_like(r0), r0, z0, z0, ddot(r0, z0))
+        (x, _, _, _, _), _ = lax.scan(body, init, None, length=inner_iters)
+        return x
+
+    xh = jnp.zeros_like(g_pair[0])
+    xl = jnp.zeros_like(xh)
+    r = g_pair[0] + g_pair[1]
+    for _ in range(outer_iters):
+        delta = inner(r)
+        xh, xl = df64.dd_add((xh, xl), (delta, jnp.zeros_like(delta)))
+        hx = df64.dd_mv_dd(Hh, Hl, (xh, xl))
+        rh, rl = df64.dd_sub(g_pair, hx)
+        r = rh + rl
+    return xh + xl
 
 
 def regularized_direction(H, g):
@@ -244,32 +386,60 @@ def pcg_solve(H, g, *, rel_tol=1e-5, maxiter=150, smooth_omega=0.7):
         hi, lo = df64.dd_dot(a, b)
         return hi + lo
 
-    b = g
-    bnorm = jnp.linalg.norm(b)
-    tol = rel_tol * bnorm
+    def inner(b):
+        tol = rel_tol * jnp.linalg.norm(b)
 
-    def cond(carry):
-        x, r, z, p2, rz, k = carry
-        return (jnp.linalg.norm(r) > tol) & (k < maxiter)
+        def cond(carry):
+            x, r, z, p2, rz, k = carry
+            return (jnp.linalg.norm(r) > tol) & (k < maxiter)
 
-    def body(carry):
-        x, r, z, p2, rz, k = carry
-        Hp = H.mv(p2)
-        pHp = dot(p2, Hp)
-        alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
-        x = x + alpha * p2
-        r = r - alpha * Hp
-        z = M(r)
-        rz2 = dot(r, z)
-        beta = jnp.where(rz != 0, rz2 / rz, 0.0)
-        p2 = z + beta * p2
-        return (x, r, z, p2, rz2, k + 1)
+        def body(carry):
+            x, r, z, p2, rz, k = carry
+            Hp = H.mv(p2)
+            pHp = dot(p2, Hp)
+            alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
+            x = x + alpha * p2
+            r = r - alpha * Hp
+            z = M(r)
+            rz2 = dot(r, z)
+            beta = jnp.where(rz != 0, rz2 / rz, 0.0)
+            p2 = z + beta * p2
+            return (x, r, z, p2, rz2, k + 1)
 
-    z0 = M(b)
-    x0 = jnp.zeros_like(b)
-    init = (x0, b, z0, z0, dot(b, z0), jnp.asarray(0, jnp.int32))
-    x, r, _, _, _, k = lax.while_loop(cond, body, init)
-    return x
+        z0 = M(b)
+        x0 = jnp.zeros_like(b)
+        init = (x0, b, z0, z0, dot(b, z0), jnp.asarray(0, jnp.int32))
+        x, r, _, _, _, k = lax.while_loop(cond, body, init)
+        return x
+
+    from ..ops.ddarray import DD
+
+    if not ops.dd:
+        return inner(g)
+    # double-float iterative refinement around the f32 V-cycle-CG corrector:
+    # the equilibrated condition ~ t exceeds 1/eps(f32) near the reference
+    # tolerance, so f32 CG alone cannot deliver the direction; dd residuals
+    # against the error-free dd-block matvec restore it (same scheme as
+    # gram_dd_solve, matrix-free). g arrives as a DD pair for the same
+    # reason (amplification of its narrowing error).
+    from .levelops import gram_matvec, y_matvec_dd
+
+    if isinstance(g, DD):
+        g_pair = (g.hi, g.lo)
+    else:
+        g_pair = (g, jnp.zeros_like(g))
+    zeros = jnp.zeros_like(g_pair[0])
+    xh, xl = zeros, zeros
+    r = g_pair[0] + g_pair[1]
+    for _ in range(IR_OUTER):
+        delta = inner(r)
+        xh, xl = df64.dd_add((xh, xl), (delta, zeros))
+        hx = y_matvec_dd(ops, H.Ydd, xh)
+        hx_lo = gram_matvec(ops, Lnode, xl)   # |xl| <= eps|xh|: f32 suffices
+        rh, rl = df64.dd_sub(g_pair, hx)
+        rh, rl = df64.dd_sub((rh, rl), (hx_lo, zeros))
+        r = rh + rl
+    return xh + xl
 
 
 def stopping_exact(theta):
@@ -290,35 +460,39 @@ def linesearch_illinois(beta=0.5):
     return ("illinois", float(beta), 0.0)
 
 
-def _backtracking(Y, f0, f1, fargs, x, y, g, n_dir, inc, beta, c1):
+def _backtracking(Y, G, f0, f1, fargs, x, y, g, n_dir, inc, beta, c1):
     """Armijo backtracking; returns the last finite trial if the sufficient-
     decrease test never passes before s underflows (the reference's
-    _linesearch_loop contract)."""
-
-    def eval_trial(s):
-        xn = x - s * n_dir
-        yn = f0(xn, *fargs)
-        gn = f1(xn, *fargs)
-        ok = Y.isfinite(yn) & jnp.all(jnp.isfinite(gn))
-        stalled = jnp.linalg.norm(xn - x) == 0
-        accept = ok & (stalled | Y.le(yn, Y.sub_f(y, c1 * inc * s)))
-        return xn, yn, gn, ok, accept
+    _linesearch_loop contract). Trials evaluate the objective only; the
+    gradient is computed once at the returned point (it is only needed for
+    the next Newton iteration and the stopping test, and on the dd path a
+    per-trial f1 doubles the line-search cost)."""
 
     def cond(carry):
-        s, _, _, _, accepted, trials = carry
+        s, _, _, accepted, trials = carry
         return (~accepted) & (s > 0) & (trials < _MAX_LS_TRIALS)
 
     def body(carry):
-        s, xb, yb, gb, _, trials = carry
-        xn, yn, gn, ok, accept = eval_trial(s)
+        s, xb, yb, _, trials = carry
+        xn = x - s * n_dir
+        yn = f0(xn, *fargs)
+        ok = Y.isfinite(yn)
+        stalled = jnp.linalg.norm(xn - x) == 0
+        accept = ok & (stalled | Y.le(yn, Y.sub_f(y, c1 * inc * s)))
         xb = jnp.where(ok, xn, xb)
         yb = jnp.where(ok, yn, yb)
-        gb = jnp.where(ok, gn, gb)
-        return (jnp.where(accept, s, s * beta), xb, yb, gb, accept, trials + 1)
+        return (jnp.where(accept, s, s * beta), xb, yb, accept, trials + 1)
 
     s0 = jnp.asarray(1.0, dtype=x.dtype)
-    init = (s0, x, y, g, jnp.asarray(False), jnp.asarray(0, dtype=jnp.int32))
-    _, xb, yb, gb, _, _ = lax.while_loop(cond, body, init)
+    init = (s0, x, y, jnp.asarray(False), jnp.asarray(0, dtype=jnp.int32))
+    _, xb, yb, _, _ = lax.while_loop(cond, body, init)
+    gb = f1(xb, *fargs)
+    # a non-finite gradient at an f0-finite point (barrier-term overflow at
+    # the domain wall) falls back to the incoming iterate
+    gok = G.finite(gb)
+    xb = jnp.where(gok, xb, x)
+    yb = jnp.where(gok, yb, y)
+    gb = G.sel(gok, gb, g)
     return xb, yb, gb
 
 
@@ -348,7 +522,7 @@ def _illinois_root(phi, a, b, fa, fb, maxit=128):
     return b
 
 
-def _illinois_ls(Y, f0, f1, fargs, x, y, g, n_dir, inc, beta):
+def _illinois_ls(Y, G, f0, f1, fargs, x, y, g, n_dir, inc, beta):
     """Exact line search: root of phi(s) = <grad f(x - s n), n>; falls back
     to shrinking s when the trial is rejected (non-finite)."""
 
@@ -356,7 +530,7 @@ def _illinois_ls(Y, f0, f1, fargs, x, y, g, n_dir, inc, beta):
         xn = x - s * n_dir
         yn = f0(xn, *fargs)
         gn = f1(xn, *fargs)
-        return jnp.where(Y.isfinite(yn), gn @ n_dir, jnp.nan)
+        return jnp.where(Y.isfinite(yn), G.dot(gn, n_dir), jnp.nan)
 
     def attempt(s):
         fb = phi(s)
@@ -369,7 +543,7 @@ def _illinois_ls(Y, f0, f1, fargs, x, y, g, n_dir, inc, beta):
         xn = x - s_root * n_dir
         yn = f0(xn, *fargs)
         gn = f1(xn, *fargs)
-        ok = usable & Y.isfinite(yn) & jnp.all(jnp.isfinite(gn))
+        ok = usable & Y.isfinite(yn) & G.finite(gn)
         return xn, yn, gn, ok
 
     def cond(carry):
@@ -381,7 +555,7 @@ def _illinois_ls(Y, f0, f1, fargs, x, y, g, n_dir, inc, beta):
         xn, yn, gn, ok = attempt(s)
         xb = jnp.where(ok, xn, xb)
         yb = jnp.where(ok, yn, yb)
-        gb = jnp.where(ok, gn, gb)
+        gb = G.sel(ok, gn, gb)
         return (jnp.where(ok, s, s * beta), xb, yb, gb, ok, trials + 1)
 
     init = (jnp.asarray(1.0, dtype=x.dtype), x, y, g, jnp.asarray(False),
@@ -404,18 +578,16 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
     ls_kind, ls_beta, ls_c1 = line_search
     if solve is None:
         def solve(H, g):
+            from ..ops.ddarray import DD
             from .levelops import GramHessian
 
             if isinstance(H, GramHessian):
                 return pcg_solve(H, g)
+            if isinstance(H, DD):
+                return gram_dd_solve(H, g)
             return (gram_cholesky_solve if dd else equilibrated_solve)(H, g)
     Y = _DDY if dd else _PlainY
-
-    def dot(a, b):
-        if dd:
-            hi, lo = df64.dd_dot(a, b)
-            return hi + lo
-        return a @ b
+    G = _DDG if dd else _PlainG
 
     # Roundoff floor for the lambda^2 <= 0 convergence test: in dd mode the
     # per-node derivatives are double-float (solver/barrier.py) and the Gram
@@ -428,7 +600,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         epsT = jnp.finfo(dtype).eps * floor_scale
         y0 = f0(x0, *fargs)
         g0 = f1(x0, *fargs)
-        ok0 = Y.isfinite(y0) & jnp.all(jnp.isfinite(g0))
+        ok0 = Y.isfinite(y0) & G.finite(g0)
 
         def cond(carry):
             x, y, g, ymin, gmin, k, status = carry
@@ -440,7 +612,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
 
             H = f2(x, *fargs)
             n_dir = solve(H, g)
-            inc = dot(g, n_dir)
+            inc = G.dot(g, n_dir)
             if not dd and not isinstance(H, GramHessian):
                 # lambda^2 <= 0 away from the objective roundoff floor: the
                 # Hessian solve failed (iterate pinned to the barrier wall).
@@ -456,7 +628,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
                 n_dir = lax.cond(need_fb,
                                  lambda _: regularized_direction(H, g),
                                  lambda _: n_dir, None)
-                inc = jnp.where(need_fb, dot(g, n_dir), inc)
+                inc = jnp.where(need_fb, G.dot(g, n_dir), inc)
             else:
                 need_fb = jnp.asarray(False)
             dir_ok = jnp.all(jnp.isfinite(n_dir))
@@ -467,14 +639,14 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             bad_inc = inc <= 0
 
             if ls_kind == "illinois":
-                xn, yn, gn = _illinois_ls(Y, f0, f1, fargs, x, y, g, n_dir,
+                xn, yn, gn = _illinois_ls(Y, G, f0, f1, fargs, x, y, g, n_dir,
                                           inc, ls_beta)
             else:
-                xn, yn, gn = _backtracking(Y, f0, f1, fargs, x, y, g, n_dir,
+                xn, yn, gn = _backtracking(Y, G, f0, f1, fargs, x, y, g, n_dir,
                                            inc, ls_beta, ls_c1)
             sqrt_inc = jnp.sqrt(jnp.maximum(inc, 0.0))
             stop_inexact = (lambda_tol >= 0) & (sqrt_inc < lambda_tol) & ~need_fb
-            stop_exact = Y.le(ymin, yn) & (jnp.linalg.norm(gn) >= theta * gmin)
+            stop_exact = Y.le(ymin, yn) & (G.norm(gn) >= theta * gmin)
             stopped = stop_inexact | stop_exact
 
             status = jnp.where(
@@ -487,13 +659,13 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             x2 = jnp.where(take, xn, x)
             y2 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(take, a, b), yn, y)
-            g2 = jnp.where(take, gn, g)
+            g2 = G.sel(take, gn, g)
             return (x2, y2, g2,
                     Y.minimum(ymin, y2),
-                    jnp.minimum(gmin, jnp.linalg.norm(g2)),
+                    jnp.minimum(gmin, G.norm(g2)),
                     k + 1, status)
 
-        init = (x0, y0, g0, y0, jnp.linalg.norm(g0),
+        init = (x0, y0, g0, y0, G.norm(g0),
                 jnp.asarray(0, jnp.int32),
                 jnp.where(ok0, RUNNING, BAD_INIT).astype(jnp.int32))
         x, y, g, ymin, gmin, k, status = lax.while_loop(cond, body, init)
