@@ -101,7 +101,8 @@ class Expr:
         return ("ge", self - other)
 
     def __le__(self, other):
-        return ("ge", _as_expr(other) - self)
+        # normalized to >=-form; the origin tag fixes the dual sign
+        return ("le", _as_expr(other) - self)
 
     def eval_coef(self, key, x):
         c = self.terms.get(key)
@@ -174,11 +175,24 @@ class Variable(Expr):
 
 
 class Constraint:
-    def __init__(self, kind, data, region):
-        self.kind = kind      # "epipower" | "linear"
+    def __init__(self, kind, data, region, origin=None):
+        self.kind = kind      # "epipower" | "linear" | "eq"
         self.data = data
-        self.region = region
+        self.region = region  # None | callable(x)->bool | (v, e) pairs/nodes
+        self.origin = origin  # "ge" | "le" (dual sign convention)
         self.index = None     # piece index after lowering
+
+
+def _pairs_to_flat(pairs, V):
+    """(v, e) pairs or flat broken-node indices -> flat index array."""
+    pairs = list(pairs)
+    if not pairs:
+        return np.zeros(0, dtype=np.int64)
+    first = pairs[0]
+    if isinstance(first, (tuple, list, np.ndarray)) and len(first) == 2:
+        return np.array([int(e) * V + int(v) for v, e in pairs],
+                        dtype=np.int64)
+    return np.asarray(pairs, dtype=np.int64)
 
 
 class Model:
@@ -211,22 +225,52 @@ class Model:
 
     def dirichlet(self, var, value, nodes=None):
         """Dirichlet boundary values for ``var`` (on all of the boundary, or
-        on an explicit (v, e) pair list)."""
-        self._dirichlet[var.name] = (_as_fn(value), nodes)
+        on an explicit (v, e) pair list). Sugar for ``equal``."""
+        return self.equal(var, value, pairs=nodes)
+
+    def equal(self, var_expr, rhs, pairs=None):
+        """Equality constraint a*var == rhs on ``pairs`` ((v, e) tuples or
+        flat node indices; None = the whole boundary). Lowered as Dirichlet
+        pinning of the variable (the reference's :eq records,
+        ext/MultiGridBarrierJuMPExt:660); its dual is the assembled
+        reaction (``dual``)."""
+        e = _as_expr(var_expr)
+        terms = [(k, c) for k, c in e.terms.items()]
+        if len(terms) != 1 or terms[0][0][1] != "id" or e.const is not None:
+            raise ValueError("equal() expects a*var (a single undifferentiated "
+                             "variable, optionally scaled)")
+        (name, _), a = terms[0]
+        if callable(a):
+            raise ValueError("equal(): the variable coefficient must be a "
+                             "constant scalar")
+        c = Constraint("eq", (name, _as_fn(rhs), float(a)), pairs,
+                       origin="eq")
+        self.constraints.append(c)
+        return c
+
+    def set_start(self, var, values):
+        """Warm start for ``var``: nodal values array or callable x->value
+        (the reference's JuMP set_start, src/jump_frontend.jl:115-132).
+        Typical use: m.set_start(u, m.value(u)) before a re-solve."""
+        self._start[var.name] = (np.asarray(values, dtype=float)
+                                 if not callable(values) else _as_fn(values))
 
     def epigraph(self, s_expr, q_exprs, p=2.0, where=None):
         """Add the power cone  s_expr >= ||(q_exprs)||_2^p  (EpiPower)."""
         c = Constraint("epipower",
                        (_as_expr(s_expr), [_as_expr(q) for q in q_exprs],
-                        float(p)), where)
+                        float(p)), where, origin="power")
         self.constraints.append(c)
         return c
 
     def constrain(self, ineq, where=None):
-        """Add a scalar linear inequality: expr >= other / expr <= other."""
+        """Add a scalar linear inequality: expr >= other / expr <= other.
+        ``where``: None (everywhere), a callable x -> bool, or a set of
+        (v, e) pairs / flat node indices (the reference's On(pairs) regions,
+        ext/MultiGridBarrierJuMPExt:950-1007)."""
         kind, expr = ineq
-        assert kind == "ge"
-        c = Constraint("linear", [expr], where)
+        assert kind in ("ge", "le")
+        c = Constraint("linear", [expr], where, origin=kind)
         self.constraints.append(c)
         return c
 
@@ -236,15 +280,17 @@ class Model:
 
     # -- lowering ---------------------------------------------------------
     def _lower(self):
+        from ..discretize.spectral import Spectral1D, Spectral2D
         from ..hierarchy.amg_build import find_boundary
-        from ..hierarchy.multigrid import prepare_amg
 
         if self.objective is None:
             raise ValueError("no objective; call model.minimize(expr)")
         names = list(self.variables)
         used_ops = {n: {"id"} for n in names}
+        eqs = [c for c in self.constraints if c.kind == "eq"]
+        cone_cons = [c for c in self.constraints if c.kind != "eq"]
         all_exprs = [self.objective]
-        for c in self.constraints:
+        for c in cone_cons:
             if c.kind == "epipower":
                 all_exprs += [c.data[0]] + c.data[1]
             else:
@@ -254,24 +300,49 @@ class Model:
                 if n not in used_ops:
                     raise ValueError(f"expression references unknown variable {n}")
                 used_ops[n].add(op)
+        eq_names = {c.data[0] for c in eqs}
 
-        # variable kinds: conforming when differentiated or Dirichlet'd
+        # variable kinds: conforming when differentiated or equality-pinned
         sv = []
         mgobj = self.mg
         dirichlet_sets = {}
         geom = mgobj.geometry
+        spectral = isinstance(geom.discretization, (Spectral1D, Spectral2D))
+        V = geom.x.shape[0]
         for n in names:
             v = self.variables[n]
             kind = v.kind
             if kind == "auto":
                 differentiated = any(op != "id" for op in used_ops[n])
                 kind = ("continuous"
-                        if differentiated or n in self._dirichlet else "broken")
+                        if differentiated or n in eq_names else "broken")
             if kind == "continuous":
-                _, nodes = self._dirichlet.get(n, (None, None))
+                if spectral:
+                    # spectral fallback: whole-boundary conditions map onto
+                    # the truncation :dirichlet subspace (the reference's
+                    # spectral path, ext/MultiGridBarrierJuMPExt:1018-1048)
+                    for c in eqs:
+                        if c.data[0] == n and c.region is not None:
+                            raise ValueError(
+                                "spectral discretizations support only "
+                                "whole-boundary equality conditions")
+                    sv.append((n, "dirichlet"))
+                    continue
                 sym = f"dirichlet_{n}"
-                dirichlet_sets[sym] = (find_boundary(geom)
-                                       if nodes is None else list(nodes))
+                node_pairs = []
+                whole = False
+                for c in eqs:
+                    if c.data[0] != n:
+                        continue
+                    if c.region is None:
+                        whole = True
+                    else:
+                        node_pairs += list(c.region)
+                if whole or not node_pairs:
+                    dirichlet_sets[sym] = find_boundary(geom) +                         [tuple(pr) for pr in node_pairs
+                         if isinstance(pr, (tuple, list))]
+                else:
+                    dirichlet_sets[sym] = list(node_pairs)
                 sv.append((n, sym))
             elif kind == "uniform":
                 sv.append((n, "uniform"))
@@ -309,18 +380,42 @@ class Model:
             else:
                 f_grid[:, r] += coef
 
-        # initial/boundary grid
+        # initial grid: warm starts first, then equality (Dirichlet) data,
+        # rejecting silent conflicts where two equality regions overlap
+        # (reference ext/MultiGridBarrierJuMPExt:930-944)
         nu = len(names)
         g_grid = np.zeros((nnodes, nu), dtype=dtype)
         for k2, n in enumerate(names):
-            fn = None
-            if n in self._dirichlet:
-                fn = self._dirichlet[n][0]
-            if n in self._start:
-                fn = self._start[n]
-            if fn is not None:
+            st = self._start.get(n)
+            if st is None:
+                continue
+            if callable(st):
                 for i in range(nnodes):
-                    g_grid[i, k2] = fn(xflat[i])
+                    g_grid[i, k2] = st(xflat[i])
+            else:
+                vals = np.asarray(st, dtype=dtype).reshape(-1)
+                if len(vals) != nnodes:
+                    raise ValueError(f"start values for {n} must have "
+                                     f"{nnodes} entries")
+                g_grid[:, k2] = vals
+        written = {}
+        for c in eqs:
+            n, rhs_fn, a = c.data
+            k2 = names.index(n)
+            if c.region is None:
+                flat = _pairs_to_flat(find_boundary(geom), V)
+            else:
+                flat = _pairs_to_flat(c.region, V)
+            for i in flat:
+                val = rhs_fn(xflat[i]) / a
+                prev = written.get((int(i), k2))
+                if prev is not None and abs(prev - val) > 1e-12 * max(
+                        1.0, abs(val)):
+                    raise ValueError(
+                        f"conflicting equality data for variable {n}: "
+                        f"{prev} vs {val} at node {int(i)}")
+                written[(int(i), k2)] = val
+                g_grid[i, k2] = val
 
         # constraints -> convex pieces
         def affine_rows(exprs, nz):
@@ -360,7 +455,7 @@ class Model:
 
         pieces = []
         selects = []
-        for c in self.constraints:
+        for c in cone_cons:
             if c.kind == "epipower":
                 s_e, q_es, p = c.data
                 nz = len(q_es) + 1
@@ -400,16 +495,25 @@ class Model:
         if len(pieces) == 1 and selects[0] is None:
             Q_all = pieces[0]
         else:
-            def select(x):
-                return tuple(1.0 if (r is None or r(x)) else 0.0
-                             for r in selects)
-
-            Q_all = convex_piecewise(tuple(pieces), mg=mgobj, select=select)
+            sel_grid = np.ones((nnodes, len(pieces)), dtype=dtype)
+            for j, r in enumerate(selects):
+                if r is None:
+                    continue
+                if callable(r):
+                    for i in range(nnodes):
+                        sel_grid[i, j] = 1.0 if r(xflat[i]) else 0.0
+                else:
+                    # (v, e) pairs / flat node indices region (On(pairs))
+                    sel_grid[:, j] = 0.0
+                    sel_grid[_pairs_to_flat(r, V), j] = 1.0
+            Q_all = convex_piecewise(tuple(pieces), mg=mgobj,
+                                     select_grid=sel_grid)
 
         prob = assemble(mgobj, state_variables=sv, D=D, f_grid=f_grid,
                         g_grid=g_grid, Q=Q_all, dtype=dtype)
         self._lowered = dict(names=names, D=D, row_of=row_of, prob=prob,
-                             mgobj=mgobj, pieces=pieces, selects=selects)
+                             mgobj=mgobj, pieces=pieces, selects=selects,
+                             Q_all=Q_all, V=V, geom=geom)
         return prob
 
     # -- solve / results --------------------------------------------------
@@ -441,24 +545,123 @@ class Model:
         Dz = M1.apply_D_full(z)
         return float(np.sum(M1.w[:, None] * prob.f_grid * Dz))
 
-    def dual(self, constraint):
-        """Central-path multipliers per node for a linear constraint (rows)
-        or the cone slack multiplier for an epigraph constraint:
-        mu_i = 1/(t_end * n * w_i * slack_i)."""
+    # -- duals (reference ext/MultiGridBarrierJuMPExt:1191-1331) ----------
+    def _dual_env(self):
+        M1 = self._lowered["prob"].M[0]
+        w = np.asarray(M1.w, dtype=np.float64)
+        t = float(self.sol.SOL_main["ts"][-1])
+        mcount = int(np.count_nonzero(w))
+        dens = np.where(w != 0, 1.0 / (t * mcount * np.where(w != 0, w, 1.0)),
+                        0.0)
+        ind = np.where(w != 0, 1.0 / (t * mcount), 0.0)
+        return t, w, mcount, dens, ind
+
+    def _region_mask(self, region):
+        L = self._lowered
+        n = L["geom"].n_nodes
+        if region is None:
+            return np.ones(n)
+        if callable(region):
+            x = L["geom"].xflat()
+            return np.array([1.0 if region(x[i]) else 0.0 for i in range(n)])
+        mask = np.zeros(n)
+        mask[_pairs_to_flat(region, L["V"])] = 1.0
+        return mask
+
+    def _Dz(self):
+        M1 = self._lowered["prob"].M[0]
+        z = np.asarray(self.sol.z, dtype=np.float64).T.reshape(-1)
+        return M1.apply_D_full(z)
+
+    def _row_vals(self, expr, Dz):
+        row_of = self._lowered["row_of"]
+        x = self._lowered["geom"].xflat()
+        n = Dz.shape[0]
+        out = np.zeros(n)
+        for key, cf in expr.terms.items():
+            col = Dz[:, row_of[key]]
+            if callable(cf):
+                out += np.array([cf(x[i]) for i in range(n)]) * col
+            else:
+                out += cf * col
+        if expr.const is not None:
+            if callable(expr.const):
+                out += np.array([expr.const(x[i]) for i in range(n)])
+            else:
+                out += expr.const
+        return out
+
+    @staticmethod
+    def _safediv(num, den):
+        return np.where(num == 0, 0.0, num / np.where(den == 0, 1.0, den))
+
+    def _reactions(self):
+        """Per-broken-node reactions: the full objective gradient over t in
+        component space, ~0 at free coordinates and equal to the equality
+        multiplier at pinned ones (reference _reactions, :1258-1299)."""
+        import jax
+
         L = self._lowered
         prob = L["prob"]
         M1 = prob.M[0]
-        t_end = float(self.sol.SOL_main["ts"][-1])
-        n = M1.n_nodes
-        w = M1.w
-        z = np.asarray(self.sol.z).T.reshape(-1)
-        Dz = M1.apply_D_full(z)
-        Q = L["pieces"][constraint.index]
-        import jax
+        names = L["names"]
+        Dz = self._Dz()
+        Q = L["Q_all"]
+        gv = np.asarray(jax.vmap(Q.barrier[1])(
+            *Q.args, np.asarray(Dz, dtype=prob.f_grid.dtype)),
+            dtype=np.float64)
+        t, w, mcount, dens, ind = self._dual_env()
+        n = Dz.shape[0]
+        react = np.zeros((n, len(names)))
+        for j, (nme, op) in enumerate(L["D"]):
+            vec = w * np.asarray(prob.f_grid[:, j], np.float64) + ind * gv[:, j]
+            opd, comp = M1.D_fine[j]
+            react[:, comp] += opd.rmatvec(vec)
+        return react
 
-        slack = np.asarray(jax.vmap(Q.slack)(*Q.args,
-                                             np.asarray(Dz, dtype=Dz.dtype)))
-        resid = -slack     # positive margin
-        mu = 1.0 / (t_end * n * np.where(w > 0, w, np.inf) * np.maximum(
-            resid, 1e-300))
-        return mu
+    def dual(self, constraint):
+        """Central-path dual of a constraint, per broken node.
+
+        - linear rows: mu = dens * mask / row_value (sign per origin);
+        - epigraph (power cone): mu = dens * mask * gs with
+          gs = alpha s^(alpha-1)/r + mu(p)/s;
+        - equality: raw per-node reactions on the pinned nodes divided by
+          the variable coefficient (reference :1302-1331).
+        """
+        if self.sol is None:
+            raise ValueError("solve first")
+        c = constraint
+        t, w, mcount, dens, ind = self._dual_env()
+        mask = self._region_mask(c.region)
+        if c.kind == "linear":
+            Dz = self._Dz()
+            vals = self._row_vals(c.data[0], Dz)
+            mu = self._safediv(dens * mask, vals)
+            return -mu if c.origin == "le" else mu
+        if c.kind == "epipower":
+            Dz = self._Dz()
+            s_e, q_es, p = c.data
+            s = self._row_vals(s_e, Dz)
+            q2 = np.zeros_like(s)
+            for qe in q_es:
+                q2 += self._row_vals(qe, Dz) ** 2
+            alpha = 2.0 / p
+            r = np.power(s, alpha) - q2
+            mu_p = 0.0 if p in (1.0, 2.0) else (1.0 if p < 2.0 else 2.0)
+            gs = alpha * np.power(s, alpha - 1.0) / r + mu_p / s
+            return dens * mask * gs
+        # equality: assembled reactions
+        L = self._lowered
+        name, rhs_fn, a = c.data
+        comp = L["names"].index(name)
+        react = self._reactions()
+        n = L["geom"].n_nodes
+        if c.region is None:
+            from ..hierarchy.amg_build import find_boundary
+
+            flat = _pairs_to_flat(find_boundary(L["geom"]), L["V"])
+        else:
+            flat = _pairs_to_flat(c.region, L["V"])
+        out = np.zeros(n)
+        out[flat] = react[flat, comp] / a
+        return out

@@ -119,8 +119,16 @@ def _coefficient_transfers(subspaces: dict, refine: dict) -> dict:
             EtE = (E.T @ E).tocsc()
             rhs = (E.T @ target).tocsc()
             try:
-                C = sp.linalg.spsolve(EtE, rhs)
-                C = sp.csr_matrix(C)
+                offdiag = EtE - sp.diags(EtE.diagonal())
+                if offdiag.nnz == 0 or abs(offdiag).max() == 0:
+                    # subspace columns have disjoint support (coordinate-dedup
+                    # embeddings): E'E is diagonal and the solve is a row
+                    # scaling — the generic spsolve here was a per-column
+                    # SuperLU loop costing ~50 s at L=7
+                    dinv = 1.0 / EtE.diagonal()
+                    C = sp.csr_matrix(sp.diags(dinv) @ rhs)
+                else:
+                    C = sp.csr_matrix(sp.linalg.splu(EtE).solve(rhs.toarray()))
                 if C.shape != (n_next, target.shape[1]):
                     C = sp.csr_matrix(C.reshape(n_next, target.shape[1]))
             except Exception:

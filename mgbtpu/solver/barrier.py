@@ -114,11 +114,14 @@ def make_level_fns(Fs):
         Yh, Yl = df64.dd_mul_f((hv.hi, hv.lo), bw[:, None, None])
         mask = bw[:, None, None] != 0
         Ydd = DD(jnp.where(mask, Yh, 0.0), jnp.where(mask, Yl, 0.0))
+        L32 = node_factors(Ydd.fl())
         if ops.pcg_ctx is not None:
-            Y32 = Ydd.fl()
-            return GramHessian(ops=ops, Lnode=node_factors(Y32),
-                               ctx=ops.pcg_ctx, Ydd=Ydd)
-        return ops.assemble_dd(Ydd)
+            return GramHessian(ops=ops, Lnode=L32, ctx=ops.pcg_ctx, Ydd=Ydd)
+        # dense level: the f32 Gram assembly is only the Cholesky
+        # preconditioner; directions come from dd refinement against the
+        # matrix-free dd operator (newton.dense_ir_solve)
+        return GramHessian(ops=ops, Lnode=L32, ctx=None, Ydd=Ydd,
+                           H32=ops.assemble_gram(L32))
 
     return f0, f1, f2
 

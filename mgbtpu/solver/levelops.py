@@ -166,23 +166,19 @@ class PanelOps:
         Hl_s = Hl_s.at[self.cols[:, :, None], self.cols[:, None, :]].add(Hl)
         return H + Hl_s
 
-    def scatter_mat_dd(self, Hh, Hl):
-        """Exact dd scatter of per-element (N, C, C) dd blocks into a dense
-        DD (n_J, n_J): per color the placement is collision-free, colors
-        combine with dd adds."""
-        from ..ops import df64
-        from ..ops.ddarray import DD
-
-        dtype = Hh.dtype
-        acc = None
-        for idx in (self.colors or (jnp.arange(self.N, dtype=jnp.int32),)):
-            cc = self.cols[idx]
-            ch = jnp.zeros((self.n_J, self.n_J), dtype=dtype)
-            ch = ch.at[cc[:, :, None], cc[:, None, :]].add(Hh[idx])
-            cl = jnp.zeros((self.n_J, self.n_J), dtype=dtype)
-            cl = cl.at[cc[:, :, None], cc[:, None, :]].add(Hl[idx])
-            acc = (ch, cl) if acc is None else df64.dd_add(acc, (ch, cl))
-        return DD(*acc)
+    def assemble_gram(self, Lnode):
+        """Gram-form Hessian assembly: given per-node lower factors L with
+        bw*F2 = L L^T, compute H = sum_i (L_i^T P_i)^T (L_i^T P_i) as a
+        batched SYRK and scatter. Numerically PSD by construction. Used for
+        the dd path's dense *preconditioner* (its f32 assembly noise only
+        affects preconditioner quality, not the refined direction) and the
+        V-cycle coarse solves."""
+        Lr = Lnode.reshape(self.N, self.p, self.nD, self.nD)
+        B = jnp.einsum("jNpc,Npji->Npic", self.panels, Lr)
+        Bf = B.reshape(self.N, self.p * self.nD, self.C)
+        He = jnp.einsum("Nkc,Nkd->Ncd", Bf, Bf)
+        H = jnp.zeros((self.n_J, self.n_J), dtype=Lnode.dtype)
+        return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
 
     def scatter_vec_dd(self, vh, vl):
         """Exact dd scatter of per-element (N, C) dd contributions into a dd
@@ -197,64 +193,6 @@ class PanelOps:
             cl = jnp.zeros((self.n_J,), dtype=dtype).at[cc].add(vl[idx])
             acc = (ch, cl) if acc is None else df64.dd_add(acc, (ch, cl))
         return acc
-
-    def assemble_gram_dd(self, Lnode):
-        """Gram-form Hessian assembled in double-float: H = B^T B with
-        B = L^T P in f32 (B's rounding is a nearby-problem perturbation; the
-        Gram SYRK of THIS B is then computed exactly to ~2^-48). Returns a
-        DD (n_J, n_J) matrix. The dd representation is what lets the f32
-        Newton solve reach t ~ 1/eps(f64): the equilibrated f32 Cholesky is
-        only a *preconditioner*, while iterative refinement iterates against
-        the dd matvec (see newton.gram_dd_solve)."""
-        from ..ops import df64
-
-        Lr = Lnode.reshape(self.N, self.p, self.nD, self.nD)
-        B = jnp.einsum("jNpc,Npji->Npic", self.panels, Lr)
-        Bf = B.reshape(self.N, self.p * self.nD, self.C)
-        ph, pe = df64.two_prod(Bf[:, :, :, None], Bf[:, :, None, :])
-        Hh, Hl = df64.dd_tree_sum((ph, pe), axis=1)          # (N, C, C)
-        return self.scatter_mat_dd(Hh, Hl)
-
-    def assemble_dd(self, Ydd):
-        """Dense triple-product assembly H = P^T Y P with the per-node
-        Hessian blocks Y as a DD (n_nodes, nD, nD): every contraction runs
-        in double-float and the scatter is exact (colored). The node blocks
-        must NOT be narrowed to f32 on the way in: near the central path an
-        eps(f32)-componentwise Hessian perturbation is amplified by the
-        equilibrated condition number ~ t, which is exactly the round-2 TPU
-        stall at t ~ 3e5 (f32 node values -> O(1) direction error there)."""
-        from ..ops import df64
-
-        Yh = Ydd.hi.reshape(self.N, self.p, self.nD, self.nD)
-        Yl = Ydd.lo.reshape(self.N, self.p, self.nD, self.nD)
-        Pj = self.panels.transpose(1, 2, 0, 3)               # (N, p, j, C)
-        # B[N, p, i, C] = sum_j Y[i, j] panels[j]
-        bh, be = df64.two_prod(Yh[..., None], Pj[:, :, None, :, :])
-        be = be + Yl[..., None] * Pj[:, :, None, :, :]
-        Bh, Bl = df64.dd_tree_sum((bh, be), axis=3)          # (N, p, i, C)
-        # He[N, c, d] = sum_{p, i} panels[i, N, p, c] B[N, p, i, d]
-        Pi = self.panels.transpose(1, 2, 0, 3)               # (N, p, i, C)
-        th, te = df64.two_prod(Pi[..., :, None], Bh[..., None, :])
-        te = te + Pi[..., :, None] * Bl[..., None, :]
-        th = th.reshape(self.N, self.p * self.nD, self.C, self.C)
-        te = te.reshape(self.N, self.p * self.nD, self.C, self.C)
-        Hh, Hl = df64.dd_tree_sum((th, te), axis=1)          # (N, C, C)
-        return self.scatter_mat_dd(Hh, Hl)
-
-    def assemble_gram(self, Lnode):
-        """Gram-form Hessian assembly: given per-node lower factors L with
-        bw*F2 = L L^T, compute H = sum_i (L_i^T P_i)^T (L_i^T P_i) as a
-        batched SYRK and scatter. Numerically PSD *by construction* (a Gram
-        matrix's min eigenvalue is >= -eps*|H| regardless of the rounding of
-        the factors), which eliminates the float32 indefiniteness that
-        three-factor P'YP accumulation produces; also one einsum cheaper.
-        """
-        Lr = Lnode.reshape(self.N, self.p, self.nD, self.nD)
-        B = jnp.einsum("jNpc,Npji->Npic", self.panels, Lr)
-        Bf = B.reshape(self.N, self.p * self.nD, self.C)
-        He = jnp.einsum("Nkc,Nkd->Ncd", Bf, Bf)
-        H = jnp.zeros((self.n_J, self.n_J), dtype=Lnode.dtype)
-        return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
 
     def barrier_sum(self, vals):
         """Scalar reduction of per-node barrier values (dd-aware)."""
@@ -344,8 +282,11 @@ class GramHessian:
     (the f32 Lnode factors serve only the V-cycle preconditioner)."""
     ops: PanelOps
     Lnode: jnp.ndarray      # (n_nodes, nD, nD) lower factors of bw*F2
-    ctx: PCGContext
+    ctx: object = None      # PCGContext, or None on the dense-level path
     Ydd: object = None      # DD (n_nodes, nD, nD) or None
+    H32: object = None      # dense f32 Gram assembly (dd dense-level
+                            # preconditioner; its f32 assembly noise only
+                            # affects preconditioner quality)
 
     def mv(self, v):
         return gram_matvec(self.ops, self.Lnode, v)

@@ -123,9 +123,9 @@ class ProblemKernels:
         _, _f1, _f2 = self.fns
 
         def _matched(s0, wc0, wcc, ops, Dz0, bw, *args):
-            from ..ops.ddarray import DD
             from .levelops import GramHessian
-            from .newton import (equilibrated_solve, gram_dd_solve, pcg_solve)
+            from .newton import (dense_ir_solve, equilibrated_solve,
+                                 pcg_solve)
 
             fa0 = (ops, Dz0, wc0, bw) + args
             fac = (ops, Dz0, wcc, bw) + args
@@ -133,9 +133,7 @@ class ProblemKernels:
             g_c = _f1(s0, *fac) - g_phi
             H = _f2(s0, *fac)
             if isinstance(H, GramHessian):
-                solve = pcg_solve
-            elif isinstance(H, DD):
-                solve = gram_dd_solve
+                solve = pcg_solve if H.ctx is not None else dense_ir_solve
             else:
                 solve = equilibrated_solve
             n_phi = solve(H, g_phi)
@@ -279,8 +277,14 @@ class ProblemKernels:
         Dz0 = self._Dz0_for(z)
         if self.dd:
             from ..ops.ddarray import DD
+            from ..ops.df64 import f64_split
 
-            z_dev = DD(jnp.asarray(np.asarray(z, dtype=dtype)))
+            # error-free split of the (host f64) iterate: at deep t the
+            # distance-to-wall r ~ 1/t is below the f32 resolution of z, so
+            # truncating z to f32 would push the iterate off the central
+            # path (the t ~ 3e7 fused-path stall)
+            zh, zl = f64_split(np.asarray(z, dtype=np.float64), dtype=dtype)
+            z_dev = DD(jnp.asarray(zh), jnp.asarray(zl))
         else:
             z_dev = jnp.asarray(np.asarray(z, dtype=dtype))
         fin_theta = finalize[1] if finalize is not None else 0.9

@@ -166,62 +166,36 @@ def equilibrated_solve(H, g):
     return dinv * x
 
 
-def gram_cholesky_solve(H, g):
-    """Dense SPD solve for Gram-assembled Hessians (float32 path): Jacobi
-    equilibration + tiny-shift Cholesky + iterative refinement. The Gram
-    assembly guarantees min_ev >= -eps*|H| on the equilibrated scale, so a
-    16*eps shift makes the factorization unconditionally safe and the
-    resulting direction satisfies g.n > 0 structurally."""
-    import numpy as _np
-    from jax.scipy.linalg import cho_factor, cho_solve
-
-    dtype = H.dtype
-    eps = float(_np.finfo(_np.dtype(dtype)).eps)
-    d = jnp.sqrt(jnp.abs(jnp.diagonal(H)))
-    dinv = jnp.where(d > 0, 1.0 / d, 1.0)
-    Hs = H * (dinv[:, None] * dinv[None, :])
-    gs = dinv * g
-    cf = cho_factor(Hs + jnp.asarray(16 * eps, dtype)
-                    * jnp.eye(H.shape[0], dtype=dtype))
-    x = cho_solve(cf, gs)
-    for _ in range(2):
-        # df64 residual: the f32 matvec loses exactly the bits refinement
-        # needs; the error-free-product + tree-sum residual restores them
-        hi, lo = df64.dd_matvec(Hs, jnp.zeros_like(Hs), x)
-        r = (gs - hi) - lo
-        x = x + cho_solve(cf, r)
-    return dinv * x
-
-
 import os as _os
 
 IR_INNER = int(_os.environ.get("MGBTPU_IR_INNER", 12))
 IR_OUTER = int(_os.environ.get("MGBTPU_IR_OUTER", 3))
 
 
-def gram_dd_solve(Hdd, g, *, inner_iters=None, outer_iters=None):
-    """Mixed-precision solve of a double-float SPD system on f32 hardware.
+def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None):
+    """Mixed-precision Newton solve for dd dense levels.
 
     The barrier Hessian near the central path has equilibrated condition
     number ~ t; at the reference tolerance t ~ 1/eps(f64) ~ 6.7e7 this is
     beyond what an f32 factorization can solve (kappa * eps_f32 > 1: plain
-    iterative refinement diverges — the round-2 TPU stall at t ~ 3e5). The
-    classic remedy (Carson-Higham GMRES-IR) is to use the f32 factorization
-    only as a *preconditioner* for a Krylov corrector whose matvec runs in
-    high precision: the preconditioned operator has kappa ~ 1 + kappa*eps_f32,
-    so CG converges in a handful of iterations, and an outer refinement loop
-    with double-float residuals (r = g - H x with H and x in dd) pushes the
-    forward error to the dd floor.
+    iterative refinement diverges). Following the GMRES-IR recipe
+    (Carson-Higham), the f32 equilibrated Cholesky of the dense assembly
+    serves only as a *preconditioner* for a CG corrector (f32 dense matvec),
+    while the outer refinement iterates double-float residuals r = g - H x
+    against the exact matrix-free dd operator (levelops.y_matvec_dd) with a
+    dd solution accumulator — pushing the direction to the dd floor.
 
-    ``Hdd``: DD (n_J, n_J) Gram-assembled Hessian (exact to ~2^-48,
-    levelops.assemble_gram_dd). Cost is dominated by the one f32 Cholesky;
-    the correctors are O(n^2) matvecs.
+    ``H``: GramHessian with ``ctx=None``, carrying the dd node blocks
+    (Ydd), f32 factors (Lnode) and the dense f32 preconditioner assembly
+    (H32). ``g`` may be a DD pair (it must be: an f32-narrowed gradient is
+    amplified by kappa ~ t in the direction).
     """
     import numpy as _np
     from jax.scipy.linalg import cho_factor, cho_solve
 
     from ..ops import df64
     from ..ops.ddarray import DD
+    from .levelops import gram_matvec, y_matvec_dd
 
     inner_iters = IR_INNER if inner_iters is None else inner_iters
     outer_iters = IR_OUTER if outer_iters is None else outer_iters
@@ -229,21 +203,17 @@ def gram_dd_solve(Hdd, g, *, inner_iters=None, outer_iters=None):
         g_pair = (g.hi, g.lo)
     else:
         g_pair = (g, jnp.zeros_like(g))
-    Hh, Hl = Hdd.hi, Hdd.lo
-    dtype = Hh.dtype
+    H32 = H.H32
+    dtype = H32.dtype
     eps = float(_np.finfo(_np.dtype(dtype)).eps)
-    d = jnp.sqrt(jnp.abs(jnp.diagonal(Hh)))
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(H32)))
     dinv = jnp.where(d > 0, 1.0 / d, 1.0)
-    Hs = Hh * (dinv[:, None] * dinv[None, :])
+    Hs = H32 * (dinv[:, None] * dinv[None, :])
     cf = cho_factor(Hs + jnp.asarray(16 * eps, dtype)
-                    * jnp.eye(Hh.shape[0], dtype=dtype))
+                    * jnp.eye(H32.shape[0], dtype=dtype))
 
     def M(r):
         return dinv * cho_solve(cf, dinv * r)
-
-    def mv32(x):
-        hi, lo = df64.dd_matvec(Hh, Hl, x)
-        return hi + lo
 
     def ddot(a, b):
         hi, lo = df64.dd_dot(a, b)
@@ -253,16 +223,16 @@ def gram_dd_solve(Hdd, g, *, inner_iters=None, outer_iters=None):
         z0 = M(r0)
 
         def body(c, _):
-            x, r, z, p, rz = c
-            Hp = mv32(p)
-            pHp = ddot(p, Hp)
+            x, r, z, p2, rz = c
+            Hp = H32 @ p2
+            pHp = ddot(p2, Hp)
             alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
-            x = x + alpha * p
+            x = x + alpha * p2
             r = r - alpha * Hp
             z = M(r)
             rz2 = ddot(r, z)
             beta = jnp.where(rz != 0, rz2 / rz, 0.0)
-            return (x, r, z, z + beta * p, rz2), None
+            return (x, r, z, z + beta * p2, rz2), None
 
         init = (jnp.zeros_like(r0), r0, z0, z0, ddot(r0, z0))
         (x, _, _, _, _), _ = lax.scan(body, init, None, length=inner_iters)
@@ -274,8 +244,10 @@ def gram_dd_solve(Hdd, g, *, inner_iters=None, outer_iters=None):
     for _ in range(outer_iters):
         delta = inner(r)
         xh, xl = df64.dd_add((xh, xl), (delta, jnp.zeros_like(delta)))
-        hx = df64.dd_mv_dd(Hh, Hl, (xh, xl))
+        hx = y_matvec_dd(H.ops, H.Ydd, xh)
+        hx_lo = gram_matvec(H.ops, H.Lnode, xl)  # |xl| <= eps|xh|: f32 ok
         rh, rl = df64.dd_sub(g_pair, hx)
+        rh, rl = df64.dd_sub((rh, rl), (hx_lo, jnp.zeros_like(rh)))
         r = rh + rl
     return xh + xl
 
@@ -420,7 +392,7 @@ def pcg_solve(H, g, *, rel_tol=1e-5, maxiter=150, smooth_omega=0.7):
     # the equilibrated condition ~ t exceeds 1/eps(f32) near the reference
     # tolerance, so f32 CG alone cannot deliver the direction; dd residuals
     # against the error-free dd-block matvec restore it (same scheme as
-    # gram_dd_solve, matrix-free). g arrives as a DD pair for the same
+    # dense_ir_solve, matrix-free). g arrives as a DD pair for the same
     # reason (amplification of its narrowing error).
     from .levelops import gram_matvec, y_matvec_dd
 
@@ -582,10 +554,10 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             from .levelops import GramHessian
 
             if isinstance(H, GramHessian):
+                if H.ctx is None:
+                    return dense_ir_solve(H, g)
                 return pcg_solve(H, g)
-            if isinstance(H, DD):
-                return gram_dd_solve(H, g)
-            return (gram_cholesky_solve if dd else equilibrated_solve)(H, g)
+            return equilibrated_solve(H, g)
     Y = _DDY if dd else _PlainY
     G = _DDG if dd else _PlainG
 

@@ -181,14 +181,21 @@ class RampChunk:
         self._z = out["z"]
         self._z_unf = out["z_unf"]
 
+    @staticmethod
+    def _to_host(z):
+        from ..ops.ddarray import DD
+
+        if isinstance(z, DD):
+            # reconstruct in f64: the dd low words carry the iterate's
+            # sub-f32 position relative to the barrier walls
+            return (np.asarray(z.hi, np.float64)
+                    + np.asarray(z.lo, np.float64))
+        return np.asarray(z)
+
     @property
     def z(self):
-        from ..ops.ddarray import fl
-
-        return np.asarray(fl(self._z))
+        return self._to_host(self._z)
 
     @property
     def z_unf(self):
-        from ..ops.ddarray import fl
-
-        return np.asarray(fl(self._z_unf))
+        return self._to_host(self._z_unf)

@@ -34,7 +34,7 @@ def test_obstacle_model(mg1):
     s = m.variable("s", start=10.0)
     m.dirichlet(u, 0.0)
     m.epigraph(s, [u.dx()], p=2.0)
-    m.constrain(u >= -0.1)
+    c_lo = m.constrain(u >= -0.1)
     m.constrain(u <= 1.0)
     m.minimize(0.5 * s + 1.0 * u)
     m.solve(tol=1e-6)
@@ -43,7 +43,7 @@ def test_obstacle_model(mg1):
     assert uv.min() < -0.09          # forcing reaches the obstacle
     # central-path duals: the lower-bound multiplier is positive on the
     # active set and ~0 where inactive
-    mu = m.dual(m.constraints[1])
+    mu = m.dual(c_lo)
     act = uv <= -0.099
     if act.any() and (~act).any():
         assert mu[act].max() > 10 * mu[~act].min()
@@ -95,3 +95,87 @@ def test_infeasible_status(mg1):
     with pytest.raises(MGBConvergenceFailure):
         m.solve()
     assert m.status == "infeasible"
+
+
+def test_equality_reaction_duals():
+    """Equality (Dirichlet) duals are assembled reactions: for
+    -u'' = f with u(+-1) = 0 the boundary reactions equal -u'(x) n(x)
+    (flux), validated against the analytic derivative. Reference
+    test_jump.jl's equality-dual design."""
+    mg = amg(fem1d(nodes=np.linspace(-1, 1, 9)))
+    m = Model(mg)
+    u = m.variable("u")
+    s = m.variable("s", start=10.0)
+    ceq = m.dirichlet(u, 0.0)
+    m.epigraph(s, [u.dx()], p=2.0)
+    m.minimize(0.5 * s + 1.0 * u)   # min int |u'|^2/2 + u  => -u'' = -1
+    m.solve(tol=1e-8)
+    react = m.dual(ceq)
+    # exact: u = (x^2 - 1)/2, u' = x; reaction at x=+-1 is u'(x) n = 1
+    # (both signs positive: outward flux of the convex objective)
+    nz = react[react != 0]
+    assert len(nz) == 2
+    assert np.abs(np.abs(nz) - 1.0).max() < 1e-2
+    # interior reactions vanish
+    assert np.abs(react).sum() < 2.1
+
+
+def test_pair_region_constraint():
+    """On(pairs)-style region: the bound applies only at the listed nodes."""
+    mg = amg(fem1d(nodes=np.linspace(-1, 1, 5)))
+    m = Model(mg)
+    u = m.variable("u")
+    s = m.variable("s", start=10.0)
+    m.dirichlet(u, 0.0)
+    m.epigraph(s, [u.dx()], p=2.0)
+    geom = mg.geometry
+    x = geom.xflat()
+    left = [i for i in range(len(x)) if x[i, 0] <= 0]
+    m.constrain(u >= -0.02, where=left)
+    m.minimize(0.5 * s + 2.0 * u)
+    m.solve(tol=1e-6)
+    uv = m.value(u)
+    xs = x[:, 0]
+    assert uv[xs <= 0].min() >= -0.02 - 1e-6
+    assert uv[xs > 0].min() < -0.03   # unconstrained side digs deeper
+
+
+def test_warm_start_resolve(mg1):
+    m = Model(mg1)
+    u = m.variable("u")
+    s = m.variable("s", start=2.0)
+    m.dirichlet(u, lambda x: x[0])
+    m.epigraph(s, [u.dx()], p=1.0)
+    m.minimize(s + 0.5 * u)
+    m.solve()
+    u1 = m.value(u)
+    m2 = Model(mg1)
+    u2v = m2.variable("u")
+    s2v = m2.variable("s")
+    m2.dirichlet(u2v, lambda x: x[0])
+    m2.epigraph(s2v, [u2v.dx()], p=1.0)
+    m2.minimize(s2v + 0.5 * u2v)
+    m2.set_start(u2v, u1)
+    m2.set_start(s2v, m.value(s) + 1.0)
+    m2.solve()
+    assert np.abs(m2.value(u2v) - u1).max() < 1e-6
+
+
+def test_spectral_fallback_whole_boundary():
+    """Spectral discretizations route whole-boundary equality conditions
+    onto the truncation :dirichlet subspace (reference
+    ext/MultiGridBarrierJuMPExt:1018-1048)."""
+    from mgbtpu import spectral1d
+
+    mg = amg(spectral1d(n=8))
+    m = Model(mg)
+    u = m.variable("u")
+    s = m.variable("s", start=4.0)
+    m.dirichlet(u, lambda x: x[0])
+    m.epigraph(s, [u.dx()], p=1.0)
+    m.minimize(s + 0.5 * u)
+    m.solve(tol=1e-6)
+    uv = m.value(u)
+    x = mg.geometry.xflat()[:, 0]
+    assert abs(uv[np.argmin(x)] + 1) < 1e-5
+    assert abs(uv[np.argmax(x)] - 1) < 1e-5
