@@ -58,23 +58,27 @@ def _core_grad(q, s, p0, mu):
 def _core_hess(q, s, p0, mu):
     """Hessian of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:400-433.
 
-    As in ``_core_grad``, the power ladder s^(alpha-1), s^(alpha-2),
-    s^(2alpha-2) is derived from one safe_pow by exact division/squaring.
+    The power ladder comes from one safe_pow by exact division, and the
+    Hessian is built from the FACTORED quantities u = q/r, v = s^(a-1)/r
+    (Hqq = 4 u u' + (2/r) I, cross = -2a v u, Hss = -a(a-1) s^(a-2)/r +
+    a^2 v^2 + mu/s^2): near the deep-t central path nodes with vanishing
+    gradient have s ~ 1/t and r ~ s^2, so the unfactored 1/r^2 ~ 1e35
+    exceeds the float32 Dekker-split range (f32max/4097) and the dd
+    products NaN out, while every factored intermediate stays ~1e18.
     """
     alpha = 2.0 / p0
     q_sq = q @ q
     s_a = safe_pow(s, alpha)
     r = s_a - q_sq
     inv_r = 1.0 / r
-    inv_r2 = inv_r * inv_r
     s_am1 = s_a / s
-    coef_qs = -2.0 * alpha * s_am1 * inv_r2
     s_am2 = s_am1 / s
-    s_2am2 = s_am1 * s_am1
+    u = inv_r * q
+    v = s_am1 * inv_r
     H_ss = (-alpha * (alpha - 1.0) * s_am2 * inv_r
-            + alpha * alpha * s_2am2 * inv_r2 + mu / (s * s))
-    Hqq = 4.0 * inv_r2 * outer(q, q) + 2.0 * inv_r * jnp.eye(q.shape[0], dtype=q.dtype)
-    cross = coef_qs * q
+            + (alpha * alpha) * (v * v) + (mu / s) / s)
+    Hqq = 4.0 * outer(u, u) + 2.0 * inv_r * jnp.eye(q.shape[0], dtype=q.dtype)
+    cross = (-2.0 * alpha * v) * u
     top = cat([Hqq, cross[:, None]], axis=1)
     bot = cat([cross, H_ss[None]])[None, :]
     return cat([top, bot], axis=0)

@@ -168,8 +168,9 @@ def equilibrated_solve(H, g):
 
 import os as _os
 
-IR_INNER = int(_os.environ.get("MGBTPU_IR_INNER", 12))
+IR_INNER = int(_os.environ.get("MGBTPU_IR_INNER", 200))
 IR_OUTER = int(_os.environ.get("MGBTPU_IR_OUTER", 3))
+IR_RTOL = float(_os.environ.get("MGBTPU_IR_RTOL", 1e-7))
 
 
 def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None):
@@ -209,34 +210,60 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None):
     d = jnp.sqrt(jnp.abs(jnp.diagonal(H32)))
     dinv = jnp.where(d > 0, 1.0 / d, 1.0)
     Hs = H32 * (dinv[:, None] * dinv[None, :])
-    cf = cho_factor(Hs + jnp.asarray(16 * eps, dtype)
-                    * jnp.eye(H32.shape[0], dtype=dtype))
-
-    def M(r):
-        return dinv * cho_solve(cf, dinv * r)
+    eye = jnp.eye(H32.shape[0], dtype=dtype)
+    # shift ladder: the regularization shift directly floors the
+    # preconditioned spectrum (kappa_pre ~ shift / lambda_min(Hs), measured
+    # ~300 at 16*eps), so prefer the smallest shift whose factorization
+    # stays finite
+    cf_a = cho_factor(Hs + jnp.asarray(2 * eps, dtype) * eye)
+    cf_b = cho_factor(Hs + jnp.asarray(32 * eps, dtype) * eye)
+    ok_a = jnp.all(jnp.isfinite(cf_a[0]))
+    cfM = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
+        cf_a, cf_b)
 
     def ddot(a, b):
         hi, lo = df64.dd_dot(a, b)
         return hi + lo
 
-    def inner(r0):
-        z0 = M(r0)
+    def mv_s(u):
+        # equilibrated matvec through the DOUBLE-FLOAT operator, narrowed
+        # per application. An f32 matvec has ABSOLUTE error eps*||Hs||*||u||,
+        # which at kappa_eq ~ t > 1/eps(f32) exceeds the solvable residual
+        # and caps the whole refinement (the observed lambda floor ~3e-3);
+        # the dd matvec's error is RELATIVE to the product, which is what
+        # the GMRES-IR convergence theory (matvec in precision u^2) needs.
+        hi, lo = y_matvec_dd(H.ops, H.Ydd, dinv * u)
+        return dinv * (hi + lo)
 
-        def body(c, _):
-            x, r, z, p2, rz = c
-            Hp = H32 @ p2
+    def inner(r0):
+        # CG in EQUILIBRATED coordinates: Hs u = dinv*r0, delta = dinv*u.
+        # The raw H spans ~t^2 orders of magnitude near the reference
+        # tolerance; on the unit-diagonal scale everything is O(1).
+        rs = dinv * r0
+        z0 = cho_solve(cfM, rs)
+        tol2 = jnp.asarray(IR_RTOL ** 2, dtype) * ddot(rs, rs)
+
+        def cond(c):
+            x, r, z, p2, rz, k = c
+            return (ddot(r, r) > tol2) & (k < inner_iters)
+
+        def body(c):
+            x, r, z, p2, rz, k = c
+            Hp = mv_s(p2)
             pHp = ddot(p2, Hp)
             alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
             x = x + alpha * p2
             r = r - alpha * Hp
-            z = M(r)
+            z = cho_solve(cfM, r)
             rz2 = ddot(r, z)
             beta = jnp.where(rz != 0, rz2 / rz, 0.0)
-            return (x, r, z, z + beta * p2, rz2), None
+            return (x, r, z, z + beta * p2, rz2, k + 1)
 
-        init = (jnp.zeros_like(r0), r0, z0, z0, ddot(r0, z0))
-        (x, _, _, _, _), _ = lax.scan(body, init, None, length=inner_iters)
-        return x
+        init = (jnp.zeros_like(rs), rs, z0, z0, ddot(rs, z0),
+                jnp.asarray(0, jnp.int32))
+        x, _, _, _, _, _ = lax.while_loop(cond, body, init)
+        return dinv * x
 
     xh = jnp.zeros_like(g_pair[0])
     xl = jnp.zeros_like(xh)
@@ -296,7 +323,7 @@ def _tree_finite(t):
     return out
 
 
-def pcg_solve(H, g, *, rel_tol=1e-5, maxiter=150, smooth_omega=0.7):
+def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7):
     """Multigrid-preconditioned CG for a matrix-free GramHessian level.
 
     The V-cycle reuses the *same* hierarchy the barrier method searches over
@@ -315,18 +342,33 @@ def pcg_solve(H, g, *, rel_tol=1e-5, maxiter=150, smooth_omega=0.7):
     ops = H.ops
     ctx = H.ctx
     Lnode = H.Lnode
-    dtype = g.dtype
-    eps = float(jnp.finfo(dtype).eps)
+    from ..ops.ddarray import DD as _DD
 
-    # per-level data for this Newton iterate
+    dtype = g.hi.dtype if isinstance(g, _DD) else g.dtype
+    eps = float(jnp.finfo(dtype).eps)
+    # dd path: the inner corrector must actually converge (the IR outer can
+    # only polish what the corrector delivers); non-dd keeps the legacy
+    # budget
+    if rel_tol is None:
+        rel_tol = IR_RTOL if ops.dd else 1e-5
+    if maxiter is None:
+        maxiter = IR_INNER if ops.dd else 150
+
+    # per-level data for this Newton iterate; the coarse shift floors the
+    # preconditioned spectrum, so prefer the smallest finite one (ladder)
     dense_chos = []
     for l in range(ctx.dense_level + 1):
         Hl = ctx.coarse_ops[l].assemble_gram(Lnode)
         d = jnp.sqrt(jnp.abs(jnp.diagonal(Hl)))
         dinv = jnp.where(d > 0, 1.0 / d, 1.0)
         Hs = Hl * (dinv[:, None] * dinv[None, :])
-        cf = cho_factor(Hs + jnp.asarray(16 * eps, dtype)
-                        * jnp.eye(Hl.shape[0], dtype=dtype))
+        eye = jnp.eye(Hl.shape[0], dtype=dtype)
+        cf_a = cho_factor(Hs + jnp.asarray(2 * eps, dtype) * eye)
+        cf_b = cho_factor(Hs + jnp.asarray(32 * eps, dtype) * eye)
+        ok_a = jnp.all(jnp.isfinite(cf_a[0]))
+        cf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
+            cf_a, cf_b)
         dense_chos.append((cf, dinv))
     diags = {}
     for l in range(ctx.dense_level + 1, ctx.n_levels):
@@ -358,8 +400,28 @@ def pcg_solve(H, g, *, rel_tol=1e-5, maxiter=150, smooth_omega=0.7):
         hi, lo = df64.dd_dot(a, b)
         return hi + lo
 
+    # CG in equilibrated coordinates (unit-diagonal scale): the raw operator
+    # spans ~t^2 orders of magnitude near the reference tolerance and f32 CG
+    # quantities formed from it drift into under/overflow (see
+    # dense_ir_solve). Hs = D H D with D = diag(1/sqrt(diag H)).
+    dt = jnp.sqrt(jnp.where(diag_top > 0, diag_top, 1.0))
+
+    def mv_s(u):
+        if not ops.dd:
+            return H.mv(u / dt) / dt
+        # dd matvec narrowed per application: relative-accurate, which the
+        # IR convergence needs at kappa_eq > 1/eps(f32) (see dense_ir_solve)
+        from .levelops import y_matvec_dd as _ymv
+
+        hi, lo = _ymv(ops, H.Ydd, u / dt)
+        return (hi + lo) / dt
+
+    def M_s(rs):
+        return dt * M(dt * rs)
+
     def inner(b):
-        tol = rel_tol * jnp.linalg.norm(b)
+        bs = b / dt
+        tol = rel_tol * jnp.linalg.norm(bs)
 
         def cond(carry):
             x, r, z, p2, rz, k = carry
@@ -367,22 +429,22 @@ def pcg_solve(H, g, *, rel_tol=1e-5, maxiter=150, smooth_omega=0.7):
 
         def body(carry):
             x, r, z, p2, rz, k = carry
-            Hp = H.mv(p2)
+            Hp = mv_s(p2)
             pHp = dot(p2, Hp)
             alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
             x = x + alpha * p2
             r = r - alpha * Hp
-            z = M(r)
+            z = M_s(r)
             rz2 = dot(r, z)
             beta = jnp.where(rz != 0, rz2 / rz, 0.0)
             p2 = z + beta * p2
             return (x, r, z, p2, rz2, k + 1)
 
-        z0 = M(b)
-        x0 = jnp.zeros_like(b)
-        init = (x0, b, z0, z0, dot(b, z0), jnp.asarray(0, jnp.int32))
+        z0 = M_s(bs)
+        x0 = jnp.zeros_like(bs)
+        init = (x0, bs, z0, z0, dot(bs, z0), jnp.asarray(0, jnp.int32))
         x, r, _, _, _, k = lax.while_loop(cond, body, init)
-        return x
+        return x / dt
 
     from ..ops.ddarray import DD
 

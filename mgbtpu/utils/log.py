@@ -12,8 +12,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _barrier_floor(dtype):
+    """Smallest admissible barrier argument: sqrt(tiny) of the dtype, so
+    that the Hessian terms 1/x^2 stay representable. A trial point inside
+    this eps-thin shell at the wall has a finite log and gradient but an
+    overflowing Hessian (f32: x in (1e-38, 5e-20) gives Inf -> NaN blocks),
+    which turned full-step overshoots into failed Newton attempts; treating
+    the shell as out-of-domain makes the line search back off instead. The
+    central path itself never enters it (r ~ 1/t >> sqrt(tiny))."""
+    import numpy as _np
+
+    return float(_np.sqrt(_np.finfo(_np.dtype(dtype)).tiny))
+
+
 def Log(x):
-    """log(x) for x > 0, else -inf (never raises, jit-safe).
+    """log(x) for x > sqrt(tiny), else -inf (never raises, jit-safe).
 
     Dispatches on the input kind: a ``DD`` double-float input (the f32/TPU
     barrier-derivative path) is evaluated in double-float.
@@ -21,9 +34,16 @@ def Log(x):
     from ..ops.ddarray import DD, dd_log
 
     if isinstance(x, DD):
-        return dd_log(x)
+        import jax.numpy as _jnp
+
+        floor = _barrier_floor(x.dtype)
+        out = dd_log(x)
+        bad = ~(x.hi > floor)
+        return type(out)(_jnp.where(bad, -_jnp.inf, out.hi),
+                         _jnp.where(bad, 0.0, out.lo))
     x = jnp.asarray(x)
-    return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), -jnp.inf)
+    floor = _barrier_floor(x.dtype)
+    return jnp.where(x > floor, jnp.log(jnp.where(x > 0, x, 1.0)), -jnp.inf)
 
 
 def safe_pow(s, alpha):
