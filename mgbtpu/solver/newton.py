@@ -323,7 +323,8 @@ def _tree_finite(t):
     return out
 
 
-def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7):
+def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
+              return_stats=False):
     """Multigrid-preconditioned CG for a matrix-free GramHessian level.
 
     The V-cycle reuses the *same* hierarchy the barrier method searches over
@@ -444,12 +445,13 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7):
         x0 = jnp.zeros_like(bs)
         init = (x0, bs, z0, z0, dot(bs, z0), jnp.asarray(0, jnp.int32))
         x, r, _, _, _, k = lax.while_loop(cond, body, init)
-        return x / dt
+        return x / dt, k
 
     from ..ops.ddarray import DD
 
     if not ops.dd:
-        return inner(g)
+        x, k = inner(g)
+        return (x, k) if return_stats else x
     # double-float iterative refinement around the f32 V-cycle-CG corrector:
     # the equilibrated condition ~ t exceeds 1/eps(f32) near the reference
     # tolerance, so f32 CG alone cannot deliver the direction; dd residuals
@@ -465,15 +467,18 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7):
     zeros = jnp.zeros_like(g_pair[0])
     xh, xl = zeros, zeros
     r = g_pair[0] + g_pair[1]
+    k_total = jnp.asarray(0, jnp.int32)
     for _ in range(IR_OUTER):
-        delta = inner(r)
+        delta, k_in = inner(r)
+        k_total = k_total + k_in
         xh, xl = df64.dd_add((xh, xl), (delta, zeros))
         hx = y_matvec_dd(ops, H.Ydd, xh)
         hx_lo = gram_matvec(ops, Lnode, xl)   # |xl| <= eps|xh|: f32 suffices
         rh, rl = df64.dd_sub(g_pair, hx)
         rh, rl = df64.dd_sub((rh, rl), (hx_lo, zeros))
         r = rh + rl
-    return xh + xl
+    x = xh + xl
+    return (x, k_total) if return_stats else x
 
 
 def stopping_exact(theta):

@@ -24,6 +24,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compile cache: the dd Newton/ramp programs take minutes of
+# XLA:CPU compile; cache them across test runs on this machine
+try:  # pragma: no cover - environment dependent
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mgbtpu_testcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 from jax._src import xla_bridge as _xb  # noqa: E402
 
 if _xb.backends_are_initialized():  # pragma: no cover - depends on harness
