@@ -35,7 +35,11 @@ _TYPES = {
     4: ("tet4", 4, 3), 11: ("tet10", 10, 3),
     5: ("hex8", 8, 3), 12: ("hex27", 27, 3), 17: ("hex20", 20, 3),
     6: ("prism6", 6, 3), 7: ("pyr5", 5, 3),
-    26: ("line4", 4, 1), 36: ("quad16", 16, 2),
+    26: ("line4", 4, 1),
+    # high-order tensor elements (full Lagrange): quad (k+1)^2, hex (k+1)^3
+    36: ("quad16", 16, 2), 37: ("quad25", 25, 2), 38: ("quad36", 36, 2),
+    47: ("quad49", 49, 2),
+    92: ("hex64", 64, 3), 93: ("hex125", 125, 3),
 }
 
 _REJECT = {
@@ -49,14 +53,23 @@ _REJECT = {
     "tet10": "tetrahedra are not supported; mesh with hexahedra",
     "prism6": "prisms are not supported; mesh with hexahedra",
     "pyr5": "pyramids are not supported; mesh with hexahedra",
-    "quad16": "order >= 3 tensor elements need Chebyshev resampling, which "
-              "the file-parser import does not provide; use order <= 2",
 }
 
 
 def _parse_msh(path):
-    """Parse ASCII .msh -> (nodes: {tag: xyz}, elements: [(etype, tags,
-    nodetags)], physical names {(dim, id): name}, entity->physical map)."""
+    """Parse a .msh file (ASCII v2.2 / v4.1, or binary v4.1) ->
+    (nodes: {tag: xyz}, elements: [(etype, phys, nodetags)],
+    physical names {(dim, id): name})."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    head = raw[:256].decode("latin-1", "replace")
+    if "$MeshFormat" in head:
+        fmt = head.split("$MeshFormat")[1].strip().split("\n")[0].split()
+        if len(fmt) >= 2 and fmt[1] == "1":
+            if not fmt[0].startswith("4"):
+                raise ValueError(f"{path}: binary MSH v{fmt[0]} is not "
+                                 "supported (only v4.1 binary and ASCII)")
+            return _parse_msh41_binary(raw)
     with open(path) as f:
         lines = f.read().splitlines()
     i = 0
@@ -141,10 +154,176 @@ def _parse_msh(path):
     return nodes, elements, physnames
 
 
+def _parse_msh41_binary(raw: bytes):
+    """Binary MSH v4.1: section headers are ASCII lines, section payloads
+    are little/big-endian packed (size_t = 8 bytes)."""
+    import struct
+
+    # endianness probe: the int 1 right after the "4.1 1 8" line
+    i = raw.index(b"$MeshFormat")
+    j = raw.index(b"\n", i) + 1
+    j = raw.index(b"\n", j) + 1          # skip the "4.1 1 8" line
+    one = struct.unpack_from("<i", raw, j)[0]
+    en = "<" if one == 1 else ">"
+
+    def find(section):
+        tag = b"$" + section
+        k = raw.find(tag)
+        if k < 0:
+            return None
+        return raw.index(b"\n", k) + 1
+
+    nodes = {}
+    elements = []
+    physnames = {}
+    ent_phys = {}
+
+    k = find(b"PhysicalNames")
+    if k is not None:
+        end = raw.index(b"$EndPhysicalNames")
+        for line in raw[k:end].decode().strip().splitlines()[1:]:
+            parts = line.split(maxsplit=2)
+            physnames[(int(parts[0]), int(parts[1]))] = \
+                parts[2].strip().strip('"')
+
+    k = find(b"Entities")
+    if k is not None:
+        np_, nc, ns, nv = struct.unpack_from(en + "4q", raw, k)
+        k += 32
+        for dim, cnt in enumerate((np_, nc, ns, nv)):
+            for _ in range(cnt):
+                tag = struct.unpack_from(en + "i", raw, k)[0]
+                k += 4
+                k += 24 if dim == 0 else 48          # xyz or bbox doubles
+                nph = struct.unpack_from(en + "q", raw, k)[0]
+                k += 8
+                phys = struct.unpack_from(en + f"{nph}i", raw, k)
+                k += 4 * nph
+                ent_phys[(dim, tag)] = list(phys)
+                if dim > 0:
+                    nb = struct.unpack_from(en + "q", raw, k)[0]
+                    k += 8 + 4 * nb
+
+    k = find(b"Nodes")
+    if k is not None:
+        nblocks, nn_total, _, _ = struct.unpack_from(en + "4q", raw, k)
+        k += 32
+        for _ in range(nblocks):
+            dim, etag, par, nn = struct.unpack_from(en + "iiiq", raw, k)
+            k += 20
+            tags = struct.unpack_from(en + f"{nn}q", raw, k)
+            k += 8 * nn
+            xyz = struct.unpack_from(en + f"{3 * nn}d", raw, k)
+            k += 24 * nn
+            for q in range(nn):
+                nodes[tags[q]] = np.array(xyz[3 * q:3 * q + 3])
+
+    k = find(b"Elements")
+    if k is not None:
+        nblocks, ne_total, _, _ = struct.unpack_from(en + "4q", raw, k)
+        k += 32
+        for _ in range(nblocks):
+            edim, etag, etype, ne = struct.unpack_from(en + "iiiq", raw, k)
+            k += 20
+            phys = ent_phys.get((edim, etag), [])
+            nper = _TYPES.get(etype, (None, 0, 0))[1]
+            if nper == 0:
+                raise ValueError(
+                    f"binary msh: unsupported element type {etype}")
+            for _ in range(ne):
+                vals = struct.unpack_from(en + f"{1 + nper}q", raw, k)
+                k += 8 * (1 + nper)
+                elements.append((etype, phys, list(vals[1:])))
+    return nodes, elements, physnames
+
+
+def _gmsh_quad_coords(k):
+    """(i, j) lattice coordinates (0..k per axis) in gmsh's recursive
+    numbering for an order-k quadrangle: corners ccw, edge nodes along each
+    edge, then the interior numbered as an order-(k-2) quad."""
+    if k == 0:
+        return [(0, 0)]
+    out = [(0, 0), (k, 0), (k, k), (0, k)]
+    if k == 1:
+        return out
+    out += [(i, 0) for i in range(1, k)]
+    out += [(k, j) for j in range(1, k)]
+    out += [(i, k) for i in range(k - 1, 0, -1)]
+    out += [(0, j) for j in range(k - 1, 0, -1)]
+    for (i, j) in _gmsh_quad_coords(k - 2):
+        out.append((i + 1, j + 1))
+    return out
+
+
+_HEX_CORNERS = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+_HEX_EDGES = [(0, 1), (0, 3), (0, 4), (1, 2), (1, 5), (3, 2),
+              (2, 6), (3, 7), (4, 5), (4, 7), (5, 6), (7, 6)]
+_HEX_FACES = [(0, 3, 2, 1), (0, 1, 5, 4), (0, 4, 7, 3),
+              (1, 2, 6, 5), (2, 3, 7, 6), (4, 5, 6, 7)]
+
+
+def _gmsh_hex_coords(k):
+    """(i, j, m) lattice coordinates in gmsh's recursive numbering for an
+    order-k hexahedron: 8 corners, 12 edges, 6 faces (each a recursive
+    order-(k-2) quad in the face's (corner0->corner1, corner0->corner3)
+    frame), then the interior as a recursive order-(k-2) hex."""
+    import numpy as _np
+
+    C = [tuple(k * c for c in p) for p in _HEX_CORNERS]
+    if k == 0:
+        return [(0, 0, 0)]
+    out = list(C)
+    if k == 1:
+        return out
+    for a, b in _HEX_EDGES:
+        pa, pb = _np.array(C[a]), _np.array(C[b])
+        for q in range(1, k):
+            out.append(tuple((pa + (pb - pa) * q // k).tolist()))
+    for c0, c1, c2, c3 in _HEX_FACES:
+        p0 = _np.array(C[c0])
+        du = (_np.array(C[c1]) - p0) // k
+        dv = (_np.array(C[c3]) - p0) // k
+        for (u, v) in _gmsh_quad_coords(k - 2):
+            pos = p0 + du * (u + 1) + dv * (v + 1)
+            out.append(tuple(pos.tolist()))
+    for (i, j, m) in _gmsh_hex_coords(k - 2):
+        out.append((i + 1, j + 1, m + 1))
+    return out
+
+
+def _tensor_order_table(coords, k, dim):
+    """gmsh-order lattice coords -> reorder table: table[tensor_slot] =
+    gmsh position index (tensor slot = i + s*j (+ s^2*m), axis-1 fastest)."""
+    s = k + 1
+    pos = {}
+    for g, c in enumerate(coords):
+        if dim == 2:
+            pos[c[0] + s * c[1]] = g
+        else:
+            pos[c[0] + s * c[1] + s * s * c[2]] = g
+    return [pos[i] for i in range(s ** dim)]
+
+
+def _cheb_resample_matrix(k, dtype):
+    """1D Lagrange evaluation matrix E with E[i, j] = L_j^{equispaced}(x_i)
+    at the Chebyshev-Lobatto nodes x_i: resamples gmsh's equispaced
+    high-order nodal coordinates onto the TensorFEM reference nodes (exact
+    for the polynomial geometry map; the reference resamples via
+    getJacobians, ext/MultiGridBarrierGmshExt)."""
+    from ..discretize.tensorfem import cheb_lobatto_nodes
+
+    eq = np.linspace(-1.0, 1.0, k + 1)
+    xc = cheb_lobatto_nodes(k, dtype=np.float64)
+    E = np.ones((k + 1, k + 1))
+    for j in range(k + 1):
+        for m in range(k + 1):
+            if m != j:
+                E[:, j] *= (xc - eq[m]) / (eq[j] - eq[m])
+    return E.astype(dtype)
+
+
 # Local-node reorder tables: gmsh order -> mgbtpu order.
-# quads: our tensor order is axis-1 fastest over ascending coordinates.
-_QUAD4 = [0, 1, 3, 2]          # gmsh corners ccw -> (-,-),(+,-),(-,+),(+,+)
-_QUAD9 = [0, 4, 1, 7, 8, 5, 3, 6, 2]
 # hexes: gmsh hex8 corner order -> tensor (-,-,-),(+,-,-),(-,+,-),(+,+,-),...
 _HEX8 = [0, 1, 3, 2, 4, 5, 7, 6]
 # gmsh hex27: 8 corners, 12 edges, 6 faces, 1 volume (gmsh doc order)
@@ -264,11 +443,11 @@ def gmsh_import(path, *, bubble=True, dtype=np.float64):
             Vn = 6
         _, t = _dedup_tags(tags)
         geom = fem2d_P2(K=K, t=t, dtype=dtype, bubble=bubble)
-    elif fam in ("quad4", "quad9"):
-        table = _QUAD4 if fam == "quad4" else _QUAD9
-        V = len(table)
-        k = 1 if fam == "quad4" else 2
+    elif fam.startswith("quad"):
+        V = int(fam[4:])
+        k = int(round(np.sqrt(V))) - 1
         s = k + 1
+        table = _tensor_order_table(_gmsh_quad_coords(k), k, 2)
         K, tags = build_K(table, V, ambient)
         if ambient == 2:
             # orientation repair (planar only; surfaces keep gmsh orientation)
@@ -279,14 +458,33 @@ def gmsh_import(path, *, bubble=True, dtype=np.float64):
                     perm = _flip_axis1(list(range(V)), s, 2)
                     K[:, e] = K[perm, e]
                     tags[:, e] = tags[perm, e]
+        if k >= 3:
+            # gmsh high-order nodes are equispaced; resample the geometry
+            # map onto the Chebyshev-Lobatto reference lattice (exact:
+            # polynomial interpolation). Shared-slot identities (edges)
+            # carry over: the resampled edge nodes of neighbouring elements
+            # coincide because the restriction of the map to a conforming
+            # shared edge is the same polynomial.
+            E1 = _cheb_resample_matrix(k, np.float64)
+            E = np.kron(E1, E1) if False else np.einsum("ia,jb->ijab", E1, E1)                .reshape(s * s, s * s, order="F")
+            # tensor slot = i + s*j (axis-1 fastest): E_full[(i,j),(a,b)] =
+            # E1[i,a] * E1[j,b]
+            E_full = np.zeros((V, V))
+            for i in range(s):
+                for j in range(s):
+                    for a in range(s):
+                        for b in range(s):
+                            E_full[i + s * j, a + s * b] = E1[i, a] * E1[j, b]
+            K = np.einsum("va,aed->ved", E_full, K)
         _, t = _dedup_tags(tags)
         geom = fem2d(K=K, k=k, t=t, ambient=ambient, dtype=dtype)
         Vn = V
-    elif fam in ("hex8", "hex27"):
-        table = _HEX8 if fam == "hex8" else _HEX27
-        k = 1 if fam == "hex8" else 2
+    elif fam.startswith("hex"):
+        V = int(fam[3:])
+        k = int(round(V ** (1.0 / 3.0))) - 1
         s = k + 1
-        V = len(table)
+        table = (_HEX8 if k == 1 else _HEX27 if k == 2 else
+                 _tensor_order_table(_gmsh_hex_coords(k), k, 3))
         K, tags = build_K(table, V, 3)
         for e in range(N):
             v1 = K[k, e] - K[0, e]
@@ -296,6 +494,18 @@ def gmsh_import(path, *, bubble=True, dtype=np.float64):
                 perm = _flip_axis1(list(range(V)), s, 3)
                 K[:, e] = K[perm, e]
                 tags[:, e] = tags[perm, e]
+        if k >= 3:
+            E1 = _cheb_resample_matrix(k, np.float64)
+            E_full = np.zeros((V, V))
+            for i in range(s):
+                for j in range(s):
+                    for m in range(s):
+                        for a in range(s):
+                            for b in range(s):
+                                for c in range(s):
+                                    E_full[i + s * j + s * s * m,
+                                           a + s * b + s * s * c] =                                         E1[i, a] * E1[j, b] * E1[m, c]
+            K = np.einsum("va,aed->ved", E_full, K)
         _, t = _dedup_tags(tags)
         geom = fem3d(K=K, k=k, t=t, dtype=dtype)
         Vn = V
