@@ -313,6 +313,34 @@ def gram_matvec(ops: PanelOps, Lnode, v):
     return jnp.zeros((ops.n_J,), dtype=v.dtype).at[ops.cols].add(contrib)
 
 
+def y_matvec_rel(ops: PanelOps, Ydd, v):
+    """Like ``y_matvec_dd`` but with a plain (uncolored) scatter and an f32
+    result: per-element contractions still run in dd (the in-element
+    cancellations are what matter), while the cross-element scatter-add
+    rounds at eps relative to the accumulated entries. Used for the INNER
+    CG corrector matvecs, which need relative accuracy only — the outer
+    iterative-refinement residuals keep the exact colored ``y_matvec_dd``.
+    The colored scatter is K sequential rounds (latency) per call, which
+    dominated the TPU per-iteration cost."""
+    from ..ops import df64
+
+    Dz = ops.apply_G_dd(v)
+    Yh = Ydd.hi.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    Yl = Ydd.lo.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    Dzh = Dz.hi.reshape(ops.N, ops.p, ops.nD)
+    Dzl = Dz.lo.reshape(ops.N, ops.p, ops.nD)
+    ph, pe = df64.two_prod(Yh, Dzh[:, :, None, :])
+    pe = pe + Yh * Dzl[:, :, None, :] + Yl * Dzh[:, :, None, :]
+    Wh, Wl = df64.dd_tree_sum((ph, pe), axis=3)
+    rh, re = df64.two_prod(ops.panels, Wh.transpose(2, 0, 1)[:, :, :, None])
+    re = re + ops.panels * Wl.transpose(2, 0, 1)[:, :, :, None]
+    sh, sl = df64.dd_tree_sum((rh, re), axis=2)
+    sh, sl = df64.dd_tree_sum((sh, sl), axis=0)          # (N, C)
+    out = jnp.zeros((ops.n_J,), dtype=sh.dtype)
+    out = out.at[ops.cols].add(sh)
+    return out.at[ops.cols].add(sl)
+
+
 def y_matvec_dd(ops: PanelOps, Ydd, v):
     """H v = P^T Y (P v) with the per-node blocks Y in double-float,
     computed in dd end to end (error-free products, dd tree reductions,

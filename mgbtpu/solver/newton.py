@@ -196,7 +196,7 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None):
 
     from ..ops import df64
     from ..ops.ddarray import DD
-    from .levelops import gram_matvec, y_matvec_dd
+    from .levelops import gram_matvec, y_matvec_dd, y_matvec_rel
 
     inner_iters = IR_INNER if inner_iters is None else inner_iters
     outer_iters = IR_OUTER if outer_iters is None else outer_iters
@@ -221,6 +221,11 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None):
     cfM = jax.tree_util.tree_map(
         lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
         cf_a, cf_b)
+    # explicit inverse: one batched triangular solve per Newton iteration;
+    # each CG iteration's preconditioner application is then a single MXU
+    # matmul instead of two sequential (latency-bound on TPU) triangular
+    # solves — the dominant per-iteration cost in the first TPU runs
+    Minv = cho_solve(cfM, eye)
 
     def ddot(a, b):
         hi, lo = df64.dd_dot(a, b)
@@ -233,15 +238,15 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None):
         # and caps the whole refinement (the observed lambda floor ~3e-3);
         # the dd matvec's error is RELATIVE to the product, which is what
         # the GMRES-IR convergence theory (matvec in precision u^2) needs.
-        hi, lo = y_matvec_dd(H.ops, H.Ydd, dinv * u)
-        return dinv * (hi + lo)
+        # The inner corrector tolerates the plain-scatter variant.
+        return dinv * y_matvec_rel(H.ops, H.Ydd, dinv * u)
 
     def inner(r0):
         # CG in EQUILIBRATED coordinates: Hs u = dinv*r0, delta = dinv*u.
         # The raw H spans ~t^2 orders of magnitude near the reference
         # tolerance; on the unit-diagonal scale everything is O(1).
         rs = dinv * r0
-        z0 = cho_solve(cfM, rs)
+        z0 = Minv @ rs
         tol2 = jnp.asarray(IR_RTOL ** 2, dtype) * ddot(rs, rs)
 
         def cond(c):
@@ -255,7 +260,7 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None):
             alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
             x = x + alpha * p2
             r = r - alpha * Hp
-            z = cho_solve(cfM, r)
+            z = Minv @ r
             rz2 = ddot(r, z)
             beta = jnp.where(rz != 0, rz2 / rz, 0.0)
             return (x, r, z, z + beta * p2, rz2, k + 1)
@@ -370,7 +375,10 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
         cf = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
             cf_a, cf_b)
-        dense_chos.append((cf, dinv))
+        # explicit inverse: coarse applications become matmuls (the
+        # triangular solves are latency-bound on TPU and run once per
+        # V-cycle application, i.e. once per CG iteration)
+        dense_chos.append((cho_solve(cf, eye), dinv))
     diags = {}
     for l in range(ctx.dense_level + 1, ctx.n_levels):
         diags[l] = gram_diag(ctx.coarse_ops[l], Lnode)
@@ -382,8 +390,8 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
 
     def cycle(l, r):
         if l <= ctx.dense_level:
-            cf, dinv = dense_chos[l]
-            return dinv * cho_solve(cf, dinv * r)
+            Minv_l, dinv = dense_chos[l]
+            return dinv * (Minv_l @ (dinv * r))
         d = diag_top if l == ctx.n_levels else diags[l]
         dinv = jnp.where(d > 0, smooth_omega / d, 0.0)
         x = dinv * r
@@ -410,12 +418,11 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
     def mv_s(u):
         if not ops.dd:
             return H.mv(u / dt) / dt
-        # dd matvec narrowed per application: relative-accurate, which the
-        # IR convergence needs at kappa_eq > 1/eps(f32) (see dense_ir_solve)
-        from .levelops import y_matvec_dd as _ymv
+        # relative-accurate dd matvec (plain scatter), which the IR
+        # convergence needs at kappa_eq > 1/eps(f32) (see dense_ir_solve)
+        from .levelops import y_matvec_rel as _ymv
 
-        hi, lo = _ymv(ops, H.Ydd, u / dt)
-        return (hi + lo) / dt
+        return _ymv(ops, H.Ydd, u / dt) / dt
 
     def M_s(rs):
         return dt * M(dt * rs)
