@@ -37,7 +37,24 @@ def _core_parts(A_row, b_row, idx, y):
     return Ax, z[:-1], z[-1]
 
 
-def _core_grad(q, s, p0, mu):
+def _pow_alpha(s, alpha, spec):
+    """s^alpha with safe_pow semantics (0 for s <= 0). ``spec`` is the
+    STATIC specialization: alpha == 2 (p = 1, the headline p-Laplacian) and
+    alpha == 1 (p = 2) avoid the transcendental exp/log chain entirely —
+    on the dd path each safe_pow is a ~600-flop dd_log+dd_exp chain per
+    node per evaluation, and it dominated both VPU time and XLA compile."""
+    from ..ops import ddarray
+
+    if spec == 2.0:
+        return ddarray.where(ddarray.hi(s) > 0, s * s,
+                             ddarray.zeros(getattr(s, "shape", ()), like=s))
+    if spec == 1.0:
+        return ddarray.where(ddarray.hi(s) > 0, s,
+                             ddarray.zeros(getattr(s, "shape", ()), like=s))
+    return safe_pow(s, alpha)
+
+
+def _core_grad(q, s, p0, mu, spec=None):
     """Gradient of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:387-397.
 
     Only one transcendental power is evaluated: s^(alpha-1) = s^alpha / s
@@ -46,7 +63,7 @@ def _core_grad(q, s, p0, mu):
     """
     alpha = 2.0 / p0
     q_sq = q @ q
-    s_a = safe_pow(s, alpha)
+    s_a = _pow_alpha(s, alpha, spec)
     r = s_a - q_sq
     inv_r = 1.0 / r
     grad_q = (2.0 * inv_r) * q
@@ -55,7 +72,7 @@ def _core_grad(q, s, p0, mu):
     return cat([grad_q, grad_s[None]])
 
 
-def _core_hess(q, s, p0, mu):
+def _core_hess(q, s, p0, mu, spec=None):
     """Hessian of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:400-433.
 
     The power ladder comes from one safe_pow by exact division, and the
@@ -68,7 +85,7 @@ def _core_hess(q, s, p0, mu):
     """
     alpha = 2.0 / p0
     q_sq = q @ q
-    s_a = safe_pow(s, alpha)
+    s_a = _pow_alpha(s, alpha, spec)
     r = s_a - q_sq
     inv_r = 1.0 / r
     s_am1 = s_a / s
@@ -152,6 +169,13 @@ def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
     else:
         p_grid = np.asarray(p_grid, dtype=dtype)
     mu_grid = _mu_of_p(p_grid).astype(dtype)
+    # static alpha specialization: constant p with alpha = 2/p in {1, 2}
+    # (p = 2 and the headline p = 1) skips the transcendental power chain
+    spec_alpha = None
+    if p_grid.size and np.all(p_grid == p_grid.flat[0]):
+        a0 = 2.0 / float(p_grid.flat[0])
+        if a0 in (1.0, 2.0):
+            spec_alpha = a0
 
     spec = input_spec_from_idx(idx_t, nz)
 
@@ -160,23 +184,29 @@ def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
     # f32 bits or its rounding alone injects ~1e-7 relative error into
     # s^alpha (the reference computes alpha in Float64)
     def _pp(p_val, y):
-        if isinstance(y, ddarray.DD) and not isinstance(p_val, ddarray.DD):
+        # promoted to DD alongside a DD y (alpha = 2/p must carry more than
+        # f32 bits), EXCEPT when the static specialization fixes alpha to an
+        # exact small integer
+        if spec_alpha is None and isinstance(y, ddarray.DD) \
+                and not isinstance(p_val, ddarray.DD):
             return ddarray.DD(p_val)
         return p_val
 
     def F0(A_row, b_row, p_val, mu_val, y):
         _, q, s = _core_parts(A_row, b_row, idx_t, y)
         alpha = 2.0 / _pp(p_val, y)
-        return -Log(safe_pow(s, alpha) - q @ q) - mu_val * Log(s)
+        return -Log(_pow_alpha(s, alpha, spec_alpha) - q @ q) \
+            - mu_val * Log(s)
 
     def F1(A_row, b_row, p_val, mu_val, y):
         Ax, q, s = _core_parts(A_row, b_row, idx_t, y)
-        g = Ax.T @ _core_grad(q, s, _pp(p_val, y), mu_val)
+        g = Ax.T @ _core_grad(q, s, _pp(p_val, y), mu_val, spec=spec_alpha)
         return scatter_vec(idx_t, g, y.shape[0])
 
     def F2(A_row, b_row, p_val, mu_val, y):
         Ax, q, s = _core_parts(A_row, b_row, idx_t, y)
-        H = Ax.T @ _core_hess(q, s, _pp(p_val, y), mu_val) @ Ax
+        H = Ax.T @ _core_hess(q, s, _pp(p_val, y), mu_val,
+                              spec=spec_alpha) @ Ax
         return scatter_mat(idx_t, H, y.shape[0])
 
     # cobarrier: y carries an appended slack; s_eff = s + slack
@@ -192,11 +222,12 @@ def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
     def C0(A_row, b_row, p_val, mu_val, yhat):
         _, q, s = _co_parts(A_row, b_row, yhat)
         alpha = 2.0 / _pp(p_val, yhat)
-        return -Log(safe_pow(s, alpha) - q @ q) - mu_val * Log(s)
+        return -Log(_pow_alpha(s, alpha, spec_alpha) - q @ q) \
+            - mu_val * Log(s)
 
     def C1(A_row, b_row, p_val, mu_val, yhat):
         Ax, q, s = _co_parts(A_row, b_row, yhat)
-        gz = _core_grad(q, s, _pp(p_val, yhat), mu_val)
+        gz = _core_grad(q, s, _pp(p_val, yhat), mu_val, spec=spec_alpha)
         g = Ax.T @ gz
         N1 = yhat.shape[0]
         out = scatter_vec(idx_t, g, N1 - 1)
@@ -204,7 +235,7 @@ def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
 
     def C2(A_row, b_row, p_val, mu_val, yhat):
         Ax, q, s = _co_parts(A_row, b_row, yhat)
-        Hz = _core_hess(q, s, _pp(p_val, yhat), mu_val)
+        Hz = _core_hess(q, s, _pp(p_val, yhat), mu_val, spec=spec_alpha)
         H = Ax.T @ Hz @ Ax
         cross = Ax.T @ Hz[:, -1]
         N1 = yhat.shape[0]
