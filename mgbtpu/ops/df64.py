@@ -289,15 +289,6 @@ def dd_mv(A, x, b=None):
     return h, l
 
 
-def dd_mv_dd(Ah, Al, x):
-    """(Ah + Al) @ (xh + xl) with a dd matrix and dd vector -> dd pair.
-    The Al*xl cross term is below the dd unit roundoff and dropped."""
-    xh, xl = x
-    ph, pe = two_prod(Ah, xh[None, :])
-    pe = pe + Ah * xl[None, :] + Al * xh[None, :]
-    return dd_tree_sum((ph, pe), axis=-1)
-
-
 def f64_split(a, dtype=_np.float32):
     """Split a float64 host array into an (hi, lo) f32 pair (error-free)."""
     a = _np.asarray(a, dtype=_np.float64)

@@ -132,39 +132,14 @@ class PanelOps:
         return DD(*self.scatter_vec_dd(hi, lo))
 
     def assemble_dense(self, Ynode):
-        """(n_nodes, nD, nD) per-node Hessian values -> dense (n_J, n_J).
-
-        In dd mode both contraction stages and the element reduction run in
-        double-float, so every assembled entry is correctly rounded f32:
-        the matrix perturbation is then ~eps_f32*|H| (componentwise), which
-        keeps the barrier Hessian numerically PSD — plain f32 accumulation
-        makes it indefinite at the -1e-3 scale and the Newton solve
-        collapses (lambda^2 <= 0) long before the float32 tolerance target.
-        """
+        """(n_nodes, nD, nD) per-node Hessian values -> dense (n_J, n_J)
+        via the batched triple-product einsum (the float64 path; the dd
+        path is matrix-free, see GramHessian/y_matvec_dd)."""
         Yr = Ynode.reshape(self.N, self.p, self.nD, self.nD)
-        if not self.dd:
-            He = jnp.einsum("iNpc,Npij,jNpd->Ncd", self.panels, Yr,
-                            self.panels)
-            H = jnp.zeros((self.n_J, self.n_J), dtype=Ynode.dtype)
-            return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
-        from ..ops import df64
-
-        # stage 1: B[N,p,i,d] = sum_j Y[N,p,i,j] * panels[j,N,p,d]
-        Pj = self.panels.transpose(1, 2, 0, 3)              # (N,p,j,C)
-        bh, be = df64.two_prod(Yr[..., None], Pj[:, :, None, :, :])
-        Bh, Bl = df64.dd_tree_sum((bh, be), axis=3)         # (N,p,i,C)
-        # stage 2: He[N,c,d] = sum_{p,i} panels[i,N,p,c] * B[N,p,i,d]
-        Pi = self.panels.transpose(1, 2, 0, 3)              # (N,p,i,C)
-        th, te = df64.two_prod(Pi[..., :, None], Bh[..., None, :])
-        te = te + Pi[..., :, None] * Bl[..., None, :]
-        th = th.reshape(self.N, self.p * self.nD, self.C, self.C)
-        te = te.reshape(self.N, self.p * self.nD, self.C, self.C)
-        Hh, Hl = df64.dd_tree_sum((th, te), axis=1)         # (N,C,C)
+        He = jnp.einsum("iNpc,Npij,jNpd->Ncd", self.panels, Yr,
+                        self.panels)
         H = jnp.zeros((self.n_J, self.n_J), dtype=Ynode.dtype)
-        H = H.at[self.cols[:, :, None], self.cols[:, None, :]].add(Hh)
-        Hl_s = jnp.zeros((self.n_J, self.n_J), dtype=Ynode.dtype)
-        Hl_s = Hl_s.at[self.cols[:, :, None], self.cols[:, None, :]].add(Hl)
-        return H + Hl_s
+        return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
 
     def assemble_gram(self, Lnode):
         """Gram-form Hessian assembly: given per-node lower factors L with
@@ -193,15 +168,6 @@ class PanelOps:
             cl = jnp.zeros((self.n_J,), dtype=dtype).at[cc].add(vl[idx])
             acc = (ch, cl) if acc is None else df64.dd_add(acc, (ch, cl))
         return acc
-
-    def barrier_sum(self, vals):
-        """Scalar reduction of per-node barrier values (dd-aware)."""
-        if not self.dd:
-            return vals.sum()
-        from ..ops import df64
-
-        hi, lo = df64.dd_sum_f(vals, axis=0)
-        return hi + lo
 
 
 @pytree_dataclass(static=("n_rows", "n_cols", "K"))
@@ -295,18 +261,12 @@ class GramHessian:
         return gram_diag(self.ops, self.Lnode)
 
 
-def gram_factor_apply(ops: PanelOps, Lnode, v):
-    """B v with B[e,p,i,c] = sum_j L[node,j,i] panels[j,e,p,c]: (n_J,) ->
-    (N, p, nD)."""
-    vg = v[ops.cols]                                        # (N, C)
-    Lr = Lnode.reshape(ops.N, ops.p, ops.nD, ops.nD)
-    Pv = jnp.einsum("kNpc,Nc->Npk", ops.panels, vg)         # (N, p, j)
-    return jnp.einsum("Npji,Npj->Npi", Lr, Pv)
-
-
 def gram_matvec(ops: PanelOps, Lnode, v):
     """H v = B^T (B v), fully matrix-free (two batched einsums + scatter)."""
-    Bv = gram_factor_apply(ops, Lnode, v)                   # (N, p, i)
+    vg = v[ops.cols]                                        # (N, C)
+    Lr0 = Lnode.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    Pv = jnp.einsum("kNpc,Nc->Npk", ops.panels, vg)         # (N, p, j)
+    Bv = jnp.einsum("Npji,Npj->Npi", Lr0, Pv)               # (N, p, i)
     Lr = Lnode.reshape(ops.N, ops.p, ops.nD, ops.nD)
     Y = jnp.einsum("Npji,Npi->Npj", Lr, Bv)                 # back through L
     contrib = jnp.einsum("kNpc,Npk->Nc", ops.panels, Y)
