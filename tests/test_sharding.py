@@ -36,3 +36,31 @@ def test_sharded_solve_matches_unsharded():
     z0 = mgb_solve(prob).z
     z1 = mgb_solve(prob, mesh=make_mesh(n)).z
     assert np.abs(z0 - z1).max() < 1e-8
+
+
+def test_sharded_pcg_path_matches(monkeypatch):
+    """The PCG/GramHessian path (the dominant one at scale) under the
+    8-device mesh must reproduce the single-device solution to 1e-8:
+    DENSE_MAX is forced down so the V-cycle-preconditioned CG engages at a
+    shardable size; GSPMD inserts the collectives for the element-axis
+    einsums and segment-sum scatters."""
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    from mgbtpu import amg, assemble, fem2d_P2, mgb_solve, subdivide
+    from mgbtpu.parallel import make_mesh
+    from mgbtpu.solver import mgb as M
+    from mgbtpu.solver.mgb import _kernels_for
+    from mgbtpu.solver.newton import linesearch_backtracking
+
+    monkeypatch.setattr(M.ProblemKernels, "DENSE_MAX", 50)
+    monkeypatch.setattr(M.ProblemKernels, "DENSE_BASE", 40)
+    g = subdivide(fem2d_P2(), 3)   # 128 elements: shards over 8 devices
+    mg = amg(g)
+    prob = assemble(mg, p=2.0)
+    kern = _kernels_for(prob.M[0], prob.Q.barrier, linesearch_backtracking(),
+                        np.float64)
+    assert kern.ops(prob.M[0].depth - 1).pcg_ctx is not None
+    z0 = mgb_solve(prob).z
+    z1 = mgb_solve(prob, mesh=make_mesh(n)).z
+    assert np.abs(z0 - z1).max() < 1e-8
