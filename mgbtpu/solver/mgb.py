@@ -251,21 +251,20 @@ class ProblemKernels:
                 self.M.R_fine[l].astype(self.dtype), self.dtype)
         return self._r_ell_cache[l]
 
-    def _ramp_for(self, feas_block, finalize_on):
+    def _ramp_for(self, feas_block):
         if not hasattr(self, "_ramp_cache"):
             self._ramp_cache = {}
-        key = (feas_block, finalize_on)
+        key = feas_block
         if key not in self._ramp_cache:
             from .ramp import make_ramp
 
             self._ramp_cache[key] = make_ramp(
                 self.fns, line_search=self.line_search, dd=self.dd,
-                feas_block=feas_block, finalize_on=finalize_on)
+                feas_block=feas_block)
         return self._ramp_cache[key]
 
     def run_ramp(self, z, t, kappa, t_first, wcc, bw, args, *, target,
-                 kappa0, max_newton, stopping, finalize, feas_block,
-                 fin_maxit, max_steps):
+                 kappa0, max_newton, stopping, feas_block, max_steps):
         """One fused on-device ramp chunk from (z, t, kappa) at the finest
         level; returns a RampChunk (see ``solver/ramp.py``)."""
         from .ramp import HIST, RampChunk
@@ -287,8 +286,7 @@ class ProblemKernels:
             z_dev = DD(jnp.asarray(zh), jnp.asarray(zl))
         else:
             z_dev = jnp.asarray(np.asarray(z, dtype=dtype))
-        fin_theta = finalize[1] if finalize is not None else 0.9
-        ramp = self._ramp_for(feas_block, finalize is not None)
+        ramp = self._ramp_for(feas_block)
         out = ramp(
             z_dev, Dz0, self._R_ell(l), ops,
             jnp.asarray(wcc.astype(dtype)), jnp.asarray(bw.astype(dtype)),
@@ -297,8 +295,7 @@ class ProblemKernels:
             jnp.asarray(t_first, dtype), jnp.asarray(target, dtype),
             jnp.asarray(kappa0, dtype), jnp.asarray(max_newton, jnp.int32),
             jnp.asarray(lambda_tol if kind == "inexact" else -1.0, dtype),
-            jnp.asarray(theta, dtype), jnp.asarray(fin_maxit, jnp.int32),
-            jnp.asarray(fin_theta, dtype),
+            jnp.asarray(theta, dtype),
             jnp.asarray(min(max_steps, HIST), jnp.int32))
         return RampChunk(out)
 
@@ -407,8 +404,8 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
         log("mgb_core", f"fused ramp chunk from t={t} kappa={kappa} k={k}")
         chunk = kern.run_ramp(
             z, t, kappa, t_first, wcc, bw, args, target=target, kappa0=kappa0,
-            max_newton=max_newton, stopping=stopping, finalize=finalize,
-            feas_block=feas_block, fin_maxit=maxit, max_steps=maxit - k)
+            max_newton=max_newton, stopping=stopping,
+            feas_block=feas_block, max_steps=maxit - k)
         now = time.time()
         for i in range(chunk.nrec):
             e = np.zeros(L, dtype=np.int64)
@@ -425,6 +422,21 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
         log("mgb_core",
             f"chunk: {chunk.nrec} steps to t={t}, status={chunk.status}")
         if chunk.status == R_TARGET:
+            # host-side finalize polish at the reached t (the exact-stopping
+            # Newton is kept out of the ramp kernel for compile size)
+            if finalize is not None:
+                log("mgb_core", "finalize")
+                L_idx = kern.M.depth
+                x, yv, kf, st = kern.run_newton(
+                    L_idx - 1, z, wc_at(t), bw, args, maxit=maxit,
+                    stopping=finalize)
+                if st == CONVERGED:
+                    z_unf = z
+                    z = z + kern.M.R_fine[L_idx - 1] @ x
+                    its_hist[-1][L_idx - 1] += kf
+                else:
+                    log("mgb_core", f"finalize stalled (status={st}); "
+                        "keeping the centered iterate")
             converged = True
         elif chunk.status == R_EARLY:
             converged = True

@@ -38,15 +38,16 @@ R_RUNNING, R_TARGET, R_EARLY, R_NEED_HELP = range(4)
 HIST = 512  # per-chunk history capacity (and outer-step bound per call)
 
 
-def make_ramp(fns, *, line_search, dd, feas_block=None, finalize_on=True):
+def make_ramp(fns, *, line_search, dd, feas_block=None):
     """Build the jitted ramp kernel.
 
     ``fns``: (f0, f1, f2) level functions (signature f(s, ops, Dz0, wc, bw,
     *args)); ``feas_block``: static (lo, hi) slice of z holding the phase-I
-    slack values (enables the on-device feasibility early stop);
-    ``finalize_on``: run the exact-stopping polish pass on device when the
-    step reaches the target t (its failure rejects the step, matching the
-    host semantics where finalize is part of ``mgb_step``).
+    slack values (enables the on-device feasibility early stop). The
+    exact-stopping finalize polish runs HOST-side after the ramp reaches the
+    target (one extra round trip): embedding a second Newton instance in the
+    kernel doubled the program and pushed the TPU remote compile over a
+    cliff.
     """
     newton_core = make_newton_core(*fns, line_search=line_search, dd=dd)
 
@@ -58,12 +59,10 @@ def make_ramp(fns, *, line_search, dd, feas_block=None, finalize_on=True):
 
     @jax.jit
     def ramp(z, Dz0, R_ell, ops, wcc, bw, args, t, kappa, t_first,
-             target, kappa0, max_newton, lambda_tol, theta,
-             fin_maxit, fin_theta, max_steps):
+             target, kappa0, max_newton, lambda_tol, theta, max_steps):
         dtype = z.dtype
         n_J = ops.n_J
         x0 = jnp.zeros((n_J,), dtype)
-        one = jnp.asarray(1.0, dtype)
 
         def wr(a, idx, pred, v):
             return a.at[idx].set(jnp.where(pred, v, a[idx]))
@@ -84,25 +83,7 @@ def make_ramp(fns, *, line_search, dd, feas_block=None, finalize_on=True):
             Dz0n = adv_Dz(ops, Dz0, x)
             zn = adv_z(R_ell, z, x)
             reach = t1 >= target
-
-            if finalize_on:
-                def run_fin(_):
-                    xf, yf, kf, stf = newton_core(
-                        x0, (ops, Dz0n, wc, bw) + args, fin_maxit, -one,
-                        fin_theta)
-                    return xf, kf, stf
-
-                def skip_fin(_):
-                    return (x0, jnp.asarray(0, jnp.int32),
-                            jnp.asarray(CONVERGED, jnp.int32))
-
-                xf, kf, stf = lax.cond(reach & conv, run_fin, skip_fin, None)
-                z_fin = adv_z(R_ell, zn, xf)
-                Dz0f = adv_Dz(ops, Dz0n, xf)
-                kits_tot = kits + kf
-                conv_all = conv & jnp.where(reach, stf == CONVERGED, True)
-            else:
-                z_fin, Dz0f, kits_tot, conv_all = zn, Dz0n, kits, conv
+            z_fin, Dz0f, kits_tot, conv_all = zn, Dz0n, kits, conv
 
             kap_n = jnp.where(kits_tot <= max_newton * 0.5,
                               jnp.minimum(kappa0, kappa * kappa), kappa)
