@@ -173,7 +173,37 @@ IR_OUTER = int(_os.environ.get("MGBTPU_IR_OUTER", 3))
 IR_RTOL = float(_os.environ.get("MGBTPU_IR_RTOL", 1e-7))
 
 
-def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None):
+def make_dense_pre(H):
+    """Build the frozen dense preconditioner (equilibration + shifted f32
+    Cholesky + explicit inverse) for one CENTERING: the Hessian drifts only
+    O(lambda) within a centering, so the factorization chain — the dominant
+    per-iteration cost on TPU — is built once per Newton run and the CG
+    corrector absorbs the staleness with a few extra iterations."""
+    import numpy as _np
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    H32 = H.H32
+    dtype = H32.dtype
+    eps = float(_np.finfo(_np.dtype(dtype)).eps)
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(H32)))
+    dinv = jnp.where(d > 0, 1.0 / d, 1.0)
+    Hs = H32 * (dinv[:, None] * dinv[None, :])
+    eye = jnp.eye(H32.shape[0], dtype=dtype)
+    # shift ladder: the regularization shift directly floors the
+    # preconditioned spectrum (kappa_pre ~ shift / lambda_min(Hs)), so
+    # prefer the smallest shift whose factorization stays finite
+    cf_a = cho_factor(Hs + jnp.asarray(2 * eps, dtype) * eye)
+    cf_b = cho_factor(Hs + jnp.asarray(32 * eps, dtype) * eye)
+    ok_a = jnp.all(jnp.isfinite(cf_a[0]))
+    cfM = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
+        cf_a, cf_b)
+    # explicit inverse: preconditioner applications become MXU matmuls
+    # instead of latency-bound triangular solves
+    return (cho_solve(cfM, eye), dinv)
+
+
+def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None):
     """Mixed-precision Newton solve for dd dense levels.
 
     The barrier Hessian near the central path has equilibrated condition
@@ -204,28 +234,10 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None):
         g_pair = (g.hi, g.lo)
     else:
         g_pair = (g, jnp.zeros_like(g))
-    H32 = H.H32
-    dtype = H32.dtype
-    eps = float(_np.finfo(_np.dtype(dtype)).eps)
-    d = jnp.sqrt(jnp.abs(jnp.diagonal(H32)))
-    dinv = jnp.where(d > 0, 1.0 / d, 1.0)
-    Hs = H32 * (dinv[:, None] * dinv[None, :])
-    eye = jnp.eye(H32.shape[0], dtype=dtype)
-    # shift ladder: the regularization shift directly floors the
-    # preconditioned spectrum (kappa_pre ~ shift / lambda_min(Hs), measured
-    # ~300 at 16*eps), so prefer the smallest shift whose factorization
-    # stays finite
-    cf_a = cho_factor(Hs + jnp.asarray(2 * eps, dtype) * eye)
-    cf_b = cho_factor(Hs + jnp.asarray(32 * eps, dtype) * eye)
-    ok_a = jnp.all(jnp.isfinite(cf_a[0]))
-    cfM = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
-        cf_a, cf_b)
-    # explicit inverse: one batched triangular solve per Newton iteration;
-    # each CG iteration's preconditioner application is then a single MXU
-    # matmul instead of two sequential (latency-bound on TPU) triangular
-    # solves — the dominant per-iteration cost in the first TPU runs
-    Minv = cho_solve(cfM, eye)
+    dtype = H.H32.dtype
+    if pre is None:
+        pre = make_dense_pre(H)
+    Minv, dinv = pre
 
     def ddot(a, b):
         hi, lo = df64.dd_dot(a, b)
@@ -328,8 +340,43 @@ def _tree_finite(t):
     return out
 
 
+def make_pcg_pre(H, smooth_omega=0.7):
+    """Frozen V-cycle data for one centering: coarse assemblies + shifted
+    Cholesky INVERSES and smoother diagonals (see make_dense_pre for the
+    freezing rationale)."""
+    import numpy as _np
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    from .levelops import gram_diag
+
+    ops = H.ops
+    ctx = H.ctx
+    Lnode = H.Lnode
+    dtype = Lnode.dtype
+    eps = float(_np.finfo(_np.dtype(dtype)).eps)
+    dense_chos = []
+    for l in range(ctx.dense_level + 1):
+        Hl = ctx.coarse_ops[l].assemble_gram(Lnode)
+        d = jnp.sqrt(jnp.abs(jnp.diagonal(Hl)))
+        dinv = jnp.where(d > 0, 1.0 / d, 1.0)
+        Hs = Hl * (dinv[:, None] * dinv[None, :])
+        eye = jnp.eye(Hl.shape[0], dtype=dtype)
+        cf_a = cho_factor(Hs + jnp.asarray(2 * eps, dtype) * eye)
+        cf_b = cho_factor(Hs + jnp.asarray(32 * eps, dtype) * eye)
+        ok_a = jnp.all(jnp.isfinite(cf_a[0]))
+        cf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
+            cf_a, cf_b)
+        dense_chos.append((cho_solve(cf, eye), dinv))
+    diags = {}
+    for l in range(ctx.dense_level + 1, ctx.n_levels):
+        diags[l] = gram_diag(ctx.coarse_ops[l], Lnode)
+    diag_top = gram_diag(ops, Lnode)
+    return (dense_chos, diags, diag_top)
+
+
 def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
-              return_stats=False):
+              return_stats=False, pre=None):
     """Multigrid-preconditioned CG for a matrix-free GramHessian level.
 
     The V-cycle reuses the *same* hierarchy the barrier method searches over
@@ -360,29 +407,9 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
     if maxiter is None:
         maxiter = IR_INNER if ops.dd else 150
 
-    # per-level data for this Newton iterate; the coarse shift floors the
-    # preconditioned spectrum, so prefer the smallest finite one (ladder)
-    dense_chos = []
-    for l in range(ctx.dense_level + 1):
-        Hl = ctx.coarse_ops[l].assemble_gram(Lnode)
-        d = jnp.sqrt(jnp.abs(jnp.diagonal(Hl)))
-        dinv = jnp.where(d > 0, 1.0 / d, 1.0)
-        Hs = Hl * (dinv[:, None] * dinv[None, :])
-        eye = jnp.eye(Hl.shape[0], dtype=dtype)
-        cf_a = cho_factor(Hs + jnp.asarray(2 * eps, dtype) * eye)
-        cf_b = cho_factor(Hs + jnp.asarray(32 * eps, dtype) * eye)
-        ok_a = jnp.all(jnp.isfinite(cf_a[0]))
-        cf = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
-            cf_a, cf_b)
-        # explicit inverse: coarse applications become matmuls (the
-        # triangular solves are latency-bound on TPU and run once per
-        # V-cycle application, i.e. once per CG iteration)
-        dense_chos.append((cho_solve(cf, eye), dinv))
-    diags = {}
-    for l in range(ctx.dense_level + 1, ctx.n_levels):
-        diags[l] = gram_diag(ctx.coarse_ops[l], Lnode)
-    diag_top = gram_diag(ops, Lnode)
+    if pre is None:
+        pre = make_pcg_pre(H, smooth_omega)
+    dense_chos, diags, diag_top = pre
 
     def level_mv(l, v):
         o = ops if l == ctx.n_levels else ctx.coarse_ops[l]
@@ -623,15 +650,32 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
     """
     ls_kind, ls_beta, ls_c1 = line_search
     if solve is None:
-        def solve(H, g):
-            from ..ops.ddarray import DD
+        def solve(H, g, pre=None):
             from .levelops import GramHessian
 
             if isinstance(H, GramHessian):
                 if H.ctx is None:
-                    return dense_ir_solve(H, g)
-                return pcg_solve(H, g)
+                    return dense_ir_solve(H, g, pre=pre)
+                return pcg_solve(H, g, pre=pre)
             return equilibrated_solve(H, g)
+
+        def make_pre(H):
+            # the factorization chain is the dominant per-iteration TPU
+            # cost; build it once per centering and let the CG corrector
+            # absorb the O(lambda) staleness
+            from .levelops import GramHessian
+
+            if isinstance(H, GramHessian):
+                return make_dense_pre(H) if H.ctx is None else make_pcg_pre(H)
+            return None
+    else:
+        _user_solve = solve
+
+        def solve(H, g, pre=None):
+            return _user_solve(H, g)
+
+        def make_pre(H):
+            return None
     Y = _DDY if dd else _PlainY
     G = _DDG if dd else _PlainG
 
@@ -647,6 +691,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         y0 = f0(x0, *fargs)
         g0 = f1(x0, *fargs)
         ok0 = Y.isfinite(y0) & G.finite(g0)
+        pre0 = make_pre(f2(x0, *fargs))
 
         def cond(carry):
             x, y, g, ymin, gmin, k, status = carry
@@ -657,7 +702,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             from .levelops import GramHessian
 
             H = f2(x, *fargs)
-            n_dir = solve(H, g)
+            n_dir = solve(H, g, pre0)
             inc = G.dot(g, n_dir)
             if not dd and not isinstance(H, GramHessian):
                 # lambda^2 <= 0 away from the objective roundoff floor: the
