@@ -235,11 +235,11 @@ class ProblemKernels:
         """Newton in the level-l search space from s0 = 0."""
         kind, theta, lambda_tol = stopping
         x0 = jnp.zeros((self.ops(l).n_J,), dtype=self.dtype)
-        x, y, k, status = self._newton(
+        x, y, k, status, cg = self._newton(
             x0, self._fargs(l, z, wc, bw, args), jnp.asarray(maxit, jnp.int32),
             jnp.asarray(lambda_tol if kind == "inexact" else -1.0, self.dtype),
             jnp.asarray(theta, self.dtype))
-        return (np.asarray(x), float(y), int(k), int(status))
+        return (np.asarray(x), float(y), int(k), int(status), int(cg))
 
     def _R_ell(self, l):
         if not hasattr(self, "_r_ell_cache"):
@@ -342,13 +342,15 @@ def mgb_step(kern: ProblemKernels, z, wc, bw, args, *, maxit, max_newton,
     M = kern.M
     L = M.depth
     its = np.zeros(L, dtype=np.int64)
+    cg_tot = [0]
     state = {"z": z}
 
     def eta(j, J, stop, mi):
         log("mgb_step", f"j={j} J={J}")
-        x, y, k, status = kern.run_newton(J - 1, state["z"], wc, bw, args,
-                                          maxit=mi, stopping=stop)
+        x, y, k, status, cg = kern.run_newton(J - 1, state["z"], wc, bw, args,
+                                              maxit=mi, stopping=stop)
         its[J - 1] += k
+        cg_tot[0] += cg
         conv = status == CONVERGED
         if conv:
             state["z"] = state["z"] + M.R_fine[J - 1] @ x
@@ -367,7 +369,7 @@ def mgb_step(kern: ProblemKernels, z, wc, bw, args, *, maxit, max_newton,
         ok = eta(L - 1, L, finalize, maxit)
         converged = converged and ok
     log("mgb_step", f"converged={converged}")
-    return state["z"], z_unfinalized, its, converged
+    return state["z"], z_unfinalized, its, cg_tot[0], converged
 
 
 # ---------------------------------------------------------------------------
@@ -389,7 +391,7 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
     (z, z_unf, t, kappa, k, converged)."""
     from .ramp import R_EARLY, R_NEED_HELP, R_TARGET
 
-    its_hist, ts_hist, kappa_hist, time_hist, cdz_hist = hists
+    its_hist, ts_hist, kappa_hist, time_hist, cdz_hist, cg_hist = hists
     wcc = w[:, None] * c
     t_first = np.inf
     if feas_block is not None:
@@ -415,6 +417,7 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
             kappa_hist.append(float(chunk.kappas[i]))
             time_hist.append(now)
             cdz_hist.append(float(chunk.cdz[i]))
+            cg_hist.append(int(chunk.cg[i]))
         k += chunk.k_att
         if chunk.nrec or chunk.status in (R_TARGET, R_EARLY):
             z, z_unf = chunk.z, chunk.z_unf
@@ -427,13 +430,14 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
             if finalize is not None:
                 log("mgb_core", "finalize")
                 L_idx = kern.M.depth
-                x, yv, kf, st = kern.run_newton(
+                x, yv, kf, st, cgf = kern.run_newton(
                     L_idx - 1, z, wc_at(t), bw, args, maxit=maxit,
                     stopping=finalize)
                 if st == CONVERGED:
                     z_unf = z
                     z = z + kern.M.R_fine[L_idx - 1] @ x
                     its_hist[-1][L_idx - 1] += kf
+                    cg_hist[-1] += cgf
                 else:
                     log("mgb_core", f"finalize stalled (status={st}); "
                         "keeping the centered iterate")
@@ -445,15 +449,17 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
             # this one t (level bisection), reference src/mgb.jl:131-158
             its_acc = np.zeros(L, dtype=np.int64)
             its_acc[L - 1] += chunk.last_its
+            cg_acc = 0
             while kappa > 1:
                 t1 = kappa * t
                 log("mgb_core", f"assisted step: t={t} kappa={kappa} t1={t1}")
                 fin = finalize if t1 >= target else None
-                z_try, z_unf_try, its, conv = mgb_step(
+                z_try, z_unf_try, its, cg_s, conv = mgb_step(
                     kern, z, wc_at(t1), bw, args, maxit=maxit,
                     max_newton=max_newton, stopping=stopping, finalize=fin,
                     log=log)
                 its_acc += its
+                cg_acc += cg_s
                 if conv:
                     if its.max() <= max_newton * 0.5:
                         kappa = min(kappa0, kappa ** 2)
@@ -463,7 +469,7 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
                 log("mgb_core", "t refinement failed, shrinking kappa")
                 kappa = np.sqrt(kappa)
             k += 1
-            record(t, kappa, its_acc, z)
+            record(t, kappa, its_acc, z, cg_acc)
             if feas_block is not None and kappa > 1:
                 lo, hi = feas_block
                 if float(np.max(z[lo:hi])) < 0:
@@ -499,30 +505,34 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
     target = 1.0 / tol
     kappa0 = kappa
     L = kern.M.depth
-    its_hist, ts_hist, kappa_hist, time_hist, cdz_hist = [], [], [], [], []
+    (its_hist, ts_hist, kappa_hist, time_hist, cdz_hist,
+     cg_hist) = [], [], [], [], [], []
 
     def wc_at(tv):
         return w[:, None] * (tv * c)
 
-    def record(tv, kv, its, zv):
+    def record(tv, kv, its, zv, cg=0):
         its_hist.append(its)
         ts_hist.append(tv)
         kappa_hist.append(kv)
         time_hist.append(time.time())
+        cg_hist.append(int(cg))
         Dz = kern.M.apply_D_full(zv)
         cdz_hist.append(float(np.sum(w[:, None] * c * Dz)))
 
     initial_finalize = finalize if t >= target else None
-    z, z_unf, its, conv = mgb_step(kern, z, wc_at(t), bw, args, maxit=maxit,
-                                   max_newton=max_newton, stopping=stopping,
-                                   finalize=initial_finalize, log=log,
-                                   initial_step=True)
+    z, z_unf, its, cg0, conv = mgb_step(kern, z, wc_at(t), bw, args,
+                                        maxit=maxit,
+                                        max_newton=max_newton,
+                                        stopping=stopping,
+                                        finalize=initial_finalize, log=log,
+                                        initial_step=True)
     log("mgb_core", "initial centering done")
     if not conv:
         raise MGBConvergenceFailure(
             f"Initial centering failed at t={t}, tol={tol}, maxit={maxit}.",
             "stall")
-    record(t, kappa, its, z)
+    record(t, kappa, its, z, cg0)
     k = 1
     # The fused on-device ramp pays for itself when dispatch round trips are
     # expensive (TPU through the axon tunnel: ~0.1 s per call); on CPU the
@@ -551,7 +561,7 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
             max_newton=max_newton, stopping=stopping, finalize=finalize,
             feas_block=early_stop[1] if isinstance(early_stop, tuple) else None,
             wc_at=wc_at, record=record, hists=(its_hist, ts_hist, kappa_hist,
-                                               time_hist, cdz_hist),
+                                               time_hist, cdz_hist, cg_hist),
             progress=progress, log=log, L=L)
     else:
         while t < target and kappa > 1 and k < maxit \
@@ -561,14 +571,16 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                 if tinit < target else 1.0
             progress(prog)
             its_acc = np.zeros(L, dtype=np.int64)
+            cg_acc = 0
             while kappa > 1:
                 t1 = kappa * t
                 log("mgb_core", f"k={k} t={t} kappa={kappa} t1={t1}")
                 fin = finalize if t1 >= target else None
-                z_try, z_unf_try, its, conv = mgb_step(
+                z_try, z_unf_try, its, cg_s, conv = mgb_step(
                     kern, z, wc_at(t1), bw, args, maxit=maxit,
                     max_newton=max_newton, stopping=stopping, finalize=fin, log=log)
                 its_acc += its
+                cg_acc += cg_s
                 if conv:
                     if its.max() <= max_newton * 0.5:
                         log("mgb_core", "increasing t step size")
@@ -578,7 +590,7 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                     break
                 log("mgb_core", "t refinement failed, shrinking kappa")
                 kappa = np.sqrt(kappa)
-            record(t, kappa, its_acc, z)
+            record(t, kappa, its_acc, z, cg_acc)
         converged = (t >= target) or _early(early_stop, z, t)
     if not converged:
         code = "stall" if kappa <= 1 else "iteration_limit"
@@ -592,7 +604,7 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                 its=np.stack(its_hist, axis=1), ts=np.array(ts_hist),
                 kappas=np.array(kappa_hist), t_begin=t_begin, t_end=t_end,
                 t_elapsed=t_end - t_begin, times=np.array(time_hist),
-                c_dot_Dz=np.array(cdz_hist))
+                c_dot_Dz=np.array(cdz_hist), cg=np.array(cg_hist))
 
 
 # ---------------------------------------------------------------------------

@@ -171,6 +171,16 @@ import os as _os
 IR_INNER = int(_os.environ.get("MGBTPU_IR_INNER", 200))
 IR_OUTER = int(_os.environ.get("MGBTPU_IR_OUTER", 3))
 IR_RTOL = float(_os.environ.get("MGBTPU_IR_RTOL", 1e-7))
+# Outer-IR exit: stop refining once the TRUE (dd) residual is within
+# IR_TAU * rtol of the right-hand side — the first inner CG usually lands
+# there already, and each extra outer costs a full corrector solve.
+IR_TAU = float(_os.environ.get("MGBTPU_IR_TAU", 4.0))
+# Inexact-Newton forcing (Eisenstat-Walker flavored, binary): while the
+# decrement is far above lambda_tol the direction only steers the line
+# search, so the corrector runs at the loose tolerance; the stopping
+# iteration always re-solves tight so the reported decrement is honest.
+FORCING = _os.environ.get("MGBTPU_FORCING", "1") != "0"
+RTOL_LOOSE = float(_os.environ.get("MGBTPU_FORCING_RTOL", 1e-3))
 
 
 def make_dense_pre(H):
@@ -203,7 +213,8 @@ def make_dense_pre(H):
     return (cho_solve(cfM, eye), dinv)
 
 
-def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None):
+def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
+                   rtol=None, return_stats=False):
     """Mixed-precision Newton solve for dd dense levels.
 
     The barrier Hessian near the central path has equilibrated condition
@@ -235,6 +246,7 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None):
     else:
         g_pair = (g, jnp.zeros_like(g))
     dtype = H.H32.dtype
+    rtol = jnp.asarray(IR_RTOL if rtol is None else rtol, dtype)
     if pre is None:
         pre = make_dense_pre(H)
     Minv, dinv = pre
@@ -259,7 +271,7 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None):
         # tolerance; on the unit-diagonal scale everything is O(1).
         rs = dinv * r0
         z0 = Minv @ rs
-        tol2 = jnp.asarray(IR_RTOL ** 2, dtype) * ddot(rs, rs)
+        tol2 = rtol * rtol * ddot(rs, rs)
 
         def cond(c):
             x, r, z, p2, rz, k = c
@@ -279,21 +291,39 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None):
 
         init = (jnp.zeros_like(rs), rs, z0, z0, ddot(rs, z0),
                 jnp.asarray(0, jnp.int32))
-        x, _, _, _, _, _ = lax.while_loop(cond, body, init)
-        return dinv * x
+        x, _, _, _, _, k = lax.while_loop(cond, body, init)
+        return dinv * x, k
 
-    xh = jnp.zeros_like(g_pair[0])
-    xl = jnp.zeros_like(xh)
-    r = g_pair[0] + g_pair[1]
-    for _ in range(outer_iters):
-        delta = inner(r)
-        xh, xl = df64.dd_add((xh, xl), (delta, jnp.zeros_like(delta)))
+    # dd iterative refinement, exited on the TRUE residual: the inner CG's
+    # f32 recurrence residual drifts from the real one near its attainable
+    # floor, so outers re-measure r = g - H x in dd and stop once it is
+    # within IR_TAU * rtol of ||g|| (or the outer budget runs out). This
+    # replaces a fixed unrolled outer count — each skipped outer saves a
+    # full corrector solve.
+    zeros = jnp.zeros_like(g_pair[0])
+    gnorm = jnp.sqrt(ddot(g_pair[0], g_pair[0]))
+    tau = jnp.asarray(IR_TAU, dtype) * rtol * jnp.maximum(gnorm, 1e-30)
+
+    def ocond(c):
+        xh, xl, r, rnorm, ko, kcg = c
+        return ((ko == 0) | (rnorm > tau)) & (ko < outer_iters)
+
+    def obody(c):
+        xh, xl, r, rnorm, ko, kcg = c
+        delta, k_in = inner(r)
+        xh, xl = df64.dd_add((xh, xl), (delta, zeros))
         hx = y_matvec_dd(H.ops, H.Ydd, xh)
         hx_lo = gram_matvec(H.ops, H.Lnode, xl)  # |xl| <= eps|xh|: f32 ok
         rh, rl = df64.dd_sub(g_pair, hx)
-        rh, rl = df64.dd_sub((rh, rl), (hx_lo, jnp.zeros_like(rh)))
+        rh, rl = df64.dd_sub((rh, rl), (hx_lo, zeros))
         r = rh + rl
-    return xh + xl
+        return (xh, xl, r, jnp.sqrt(ddot(r, r)), ko + 1, kcg + k_in)
+
+    init = (zeros, zeros, g_pair[0] + g_pair[1], jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    xh, xl, _, _, _, kcg = lax.while_loop(ocond, obody, init)
+    x = xh + xl
+    return (x, kcg) if return_stats else x
 
 
 def regularized_direction(H, g):
@@ -499,18 +529,30 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
     else:
         g_pair = (g, jnp.zeros_like(g))
     zeros = jnp.zeros_like(g_pair[0])
-    xh, xl = zeros, zeros
-    r = g_pair[0] + g_pair[1]
-    k_total = jnp.asarray(0, jnp.int32)
-    for _ in range(IR_OUTER):
+    rt = jnp.asarray(rel_tol, dtype)
+    gnorm = jnp.sqrt(dot(g_pair[0], g_pair[0]))
+    tau = jnp.asarray(IR_TAU, dtype) * rt * jnp.maximum(gnorm, 1e-30)
+
+    # outer IR gated on the TRUE dd residual (see dense_ir_solve): each
+    # skipped outer saves a full V-cycle-CG corrector solve
+    def ocond(c):
+        xh, xl, r, rnorm, ko, kcg = c
+        return ((ko == 0) | (rnorm > tau)) & (ko < IR_OUTER)
+
+    def obody(c):
+        xh, xl, r, rnorm, ko, kcg = c
         delta, k_in = inner(r)
-        k_total = k_total + k_in
         xh, xl = df64.dd_add((xh, xl), (delta, zeros))
         hx = y_matvec_dd(ops, H.Ydd, xh)
         hx_lo = gram_matvec(ops, Lnode, xl)   # |xl| <= eps|xh|: f32 suffices
         rh, rl = df64.dd_sub(g_pair, hx)
         rh, rl = df64.dd_sub((rh, rl), (hx_lo, zeros))
         r = rh + rl
+        return (xh, xl, r, jnp.sqrt(dot(r, r)), ko + 1, kcg + k_in)
+
+    init = (zeros, zeros, g_pair[0] + g_pair[1], jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    xh, xl, _, _, _, k_total = lax.while_loop(ocond, obody, init)
     x = xh + xl
     return (x, k_total) if return_stats else x
 
@@ -643,21 +685,25 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
     (the fused t-ramp kernel jits a whole path-following loop around it).
 
     Returned fn signature:
-    ``newton(x0, fargs, maxit, lambda_tol, theta) -> (x, y, k, status)``
+    ``newton(x0, fargs, maxit, lambda_tol, theta) -> (x, y, k, status, cg)``
     where ``fargs`` are the extra arguments threaded to f0/f1/f2
     (ops, Dz0, wc, bw, args...), ``lambda_tol < 0`` selects the exact
-    criterion.
+    criterion, and ``cg`` is the total inner-CG iteration count across the
+    run (0 for direct solves) — the honest-PCG diagnostic surfaced in
+    MGBSOL.
     """
     ls_kind, ls_beta, ls_c1 = line_search
     if solve is None:
-        def solve(H, g, pre=None):
+        def solve(H, g, pre=None, rtol=None):
             from .levelops import GramHessian
 
             if isinstance(H, GramHessian):
                 if H.ctx is None:
-                    return dense_ir_solve(H, g, pre=pre)
-                return pcg_solve(H, g, pre=pre)
-            return equilibrated_solve(H, g)
+                    return dense_ir_solve(H, g, pre=pre, rtol=rtol,
+                                          return_stats=True)
+                return pcg_solve(H, g, pre=pre, rel_tol=rtol,
+                                 return_stats=True)
+            return equilibrated_solve(H, g), jnp.asarray(0, jnp.int32)
 
         def make_pre(H):
             # the factorization chain is the dominant per-iteration TPU
@@ -671,8 +717,8 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
     else:
         _user_solve = solve
 
-        def solve(H, g, pre=None):
-            return _user_solve(H, g)
+        def solve(H, g, pre=None, rtol=None):
+            return _user_solve(H, g), jnp.asarray(0, jnp.int32)
 
         def make_pre(H):
             return None
@@ -685,6 +731,8 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
     # the residual f32 narrowing noise of the assembled gradient.
     floor_scale = 4.0 if dd else 1.0
 
+    tight_rtol = IR_RTOL if dd else 1e-5
+
     def newton(x0, fargs, maxit, lambda_tol, theta):
         dtype = x0.dtype
         epsT = jnp.finfo(dtype).eps * floor_scale
@@ -694,15 +742,24 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         pre0 = make_pre(f2(x0, *fargs))
 
         def cond(carry):
-            x, y, g, ymin, gmin, k, status = carry
+            x, y, g, ymin, gmin, k, status, lam_prev, cg = carry
             return (status == RUNNING) & (k < maxit)
 
         def body(carry):
-            x, y, g, ymin, gmin, k, status = carry
+            x, y, g, ymin, gmin, k, status, lam_prev, cg = carry
             from .levelops import GramHessian
 
             H = f2(x, *fargs)
-            n_dir = solve(H, g, pre0)
+            # inexact-Newton forcing: far from the centered point
+            # (lam_prev >> lambda_tol) the direction only has to make line-
+            # search progress, so the corrector tolerance is relaxed; any
+            # iteration allowed to fire the inexact stop re-solves tight so
+            # the reported decrement is honest (stop gated on ~use_loose).
+            use_loose = (jnp.asarray(FORCING)
+                         & (lambda_tol >= 0)
+                         & (lam_prev > 8.0 * lambda_tol))
+            rtol_k = jnp.where(use_loose, RTOL_LOOSE, tight_rtol).astype(dtype)
+            n_dir, k_cg = solve(H, g, pre0, rtol_k)
             inc = G.dot(g, n_dir)
             if not dd and not isinstance(H, GramHessian):
                 # lambda^2 <= 0 away from the objective roundoff floor: the
@@ -736,7 +793,8 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
                 xn, yn, gn = _backtracking(Y, G, f0, f1, fargs, x, y, g, n_dir,
                                            inc, ls_beta, ls_c1)
             sqrt_inc = jnp.sqrt(jnp.maximum(inc, 0.0))
-            stop_inexact = (lambda_tol >= 0) & (sqrt_inc < lambda_tol) & ~need_fb
+            stop_inexact = ((lambda_tol >= 0) & (sqrt_inc < lambda_tol)
+                            & ~need_fb & ~use_loose)
             stop_exact = Y.le(ymin, yn) & (G.norm(gn) >= theta * gmin)
             stopped = stop_inexact | stop_exact
 
@@ -754,14 +812,17 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             return (x2, y2, g2,
                     Y.minimum(ymin, y2),
                     jnp.minimum(gmin, G.norm(g2)),
-                    k + 1, status)
+                    k + 1, status,
+                    jnp.where(take, sqrt_inc, lam_prev), cg + k_cg)
 
         init = (x0, y0, g0, y0, G.norm(g0),
                 jnp.asarray(0, jnp.int32),
-                jnp.where(ok0, RUNNING, BAD_INIT).astype(jnp.int32))
-        x, y, g, ymin, gmin, k, status = lax.while_loop(cond, body, init)
+                jnp.where(ok0, RUNNING, BAD_INIT).astype(jnp.int32),
+                jnp.asarray(jnp.inf, x0.dtype), jnp.asarray(0, jnp.int32))
+        (x, y, g, ymin, gmin, k, status, lam_prev,
+         cg) = lax.while_loop(cond, body, init)
         status = jnp.where(status == RUNNING, DIVERGED, status)
-        return x, Y.value(y), k, status
+        return x, Y.value(y), k, status, cg
 
     return newton
 

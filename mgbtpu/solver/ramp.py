@@ -69,15 +69,15 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
 
         def cond(c):
             (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
-             h_its, h_ts, h_kap, h_cdz, status) = c
+             h_its, h_ts, h_kap, h_cdz, h_cg, status) = c
             return (status == R_RUNNING) & (k_att < max_steps) & (nrec < HIST)
 
         def body(c):
             (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
-             h_its, h_ts, h_kap, h_cdz, status) = c
+             h_its, h_ts, h_kap, h_cdz, h_cg, status) = c
             t1 = kappa * t
             wc = t1 * wcc
-            x, y, kits, nst = newton_core(
+            x, y, kits, nst, kcg = newton_core(
                 x0, (ops, Dz0, wc, bw) + args, max_newton, lambda_tol, theta)
             conv = nst == CONVERGED
             Dz0n = adv_Dz(ops, Dz0, x)
@@ -116,6 +116,7 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
             h_ts = wr(h_ts, idx, rec, t1)
             h_kap = wr(h_kap, idx, rec, kap_n)
             h_cdz = wr(h_cdz, idx, rec, cdz)
+            h_cg = wr(h_cg, idx, rec, kcg)
             nrec_n = nrec + rec.astype(jnp.int32)
 
             sel = lambda a, b: jax.tree_util.tree_map(
@@ -124,21 +125,22 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
                     jnp.where(conv_all, t1, t),
                     jnp.where(conv_all, kap_n, kappa), t_first_n,
                     k_att + 1, nrec_n, kits_tot,
-                    h_its, h_ts, h_kap, h_cdz, status_n)
+                    h_its, h_ts, h_kap, h_cdz, h_cg, status_n)
 
         zeros_h = jnp.zeros((HIST,), dtype)
         init = (z, z, Dz0, t, kappa, t_first,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                 jnp.asarray(0, jnp.int32),
                 jnp.zeros((HIST,), jnp.int32), zeros_h, zeros_h, zeros_h,
+                jnp.zeros((HIST,), jnp.int32),
                 jnp.asarray(R_RUNNING, jnp.int32))
         out = lax.while_loop(cond, body, init)
         (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
-         h_its, h_ts, h_kap, h_cdz, status) = out
+         h_its, h_ts, h_kap, h_cdz, h_cg, status) = out
         return dict(z=z, z_unf=z_unf, Dz0=Dz0, t=t, kappa=kappa,
                     t_first=t_first, k_att=k_att, nrec=nrec,
                     last_its=last_its, h_its=h_its, h_ts=h_ts, h_kap=h_kap,
-                    h_cdz=h_cdz, status=status)
+                    h_cdz=h_cdz, h_cg=h_cg, status=status)
 
     return ramp
 
@@ -159,6 +161,7 @@ class RampChunk:
         self.ts = np.asarray(out["h_ts"])[:n]
         self.kappas = np.asarray(out["h_kap"])[:n]
         self.cdz = np.asarray(out["h_cdz"])[:n]
+        self.cg = np.asarray(out["h_cg"])[:n]
         self._z = out["z"]
         self._z_unf = out["z_unf"]
 

@@ -18,7 +18,7 @@ def test_entry_compiles():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    x, y, k, status = out
+    x, y, k, status, cg = out
     assert np.isfinite(float(y))
 
 
@@ -35,12 +35,15 @@ def test_sharded_solve_matches_unsharded():
     prob = assemble(mg, p=1.5)
     z0 = mgb_solve(prob).z
     z1 = mgb_solve(prob, mesh=make_mesh(n)).z
-    assert np.abs(z0 - z1).max() < 1e-8
+    # sharded reductions reorder sums; with inexact-Newton forcing the
+    # direction sequences can differ slightly between meshes, so the match
+    # is to ~10x the solver tolerance, not bitwise
+    assert np.abs(z0 - z1).max() < 2e-7
 
 
 def test_sharded_pcg_path_matches(monkeypatch):
     """The PCG/GramHessian path (the dominant one at scale) under the
-    8-device mesh must reproduce the single-device solution to 1e-8:
+    8-device mesh must reproduce the single-device solution closely:
     DENSE_MAX is forced down so the V-cycle-preconditioned CG engages at a
     shardable size; GSPMD inserts the collectives for the element-axis
     einsums and segment-sum scatters."""
@@ -63,4 +66,7 @@ def test_sharded_pcg_path_matches(monkeypatch):
     assert kern.ops(prob.M[0].depth - 1).pcg_ctx is not None
     z0 = mgb_solve(prob).z
     z1 = mgb_solve(prob, mesh=make_mesh(n)).z
-    assert np.abs(z0 - z1).max() < 1e-8
+    # sharded reductions reorder sums; with inexact-Newton forcing the
+    # direction sequences can differ slightly between meshes, so the match
+    # is to ~10x the solver tolerance, not bitwise
+    assert np.abs(z0 - z1).max() < 2e-7
