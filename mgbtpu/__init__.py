@@ -33,7 +33,7 @@ from . import zoo
 # the function shadows the subpackage on purpose: plot(sol) is the API
 # (reference extends PyPlot.plot); the module stays importable as
 # ``from mgbtpu.plot.plotting import ...``
-from .plot.plotting import plot, save_animation
+from .plot.plotting import animation_html, plot, save_animation
 
 __version__ = "0.1.0"
 
@@ -51,5 +51,5 @@ __all__ = [
     "default_D", "default_f", "default_g", "default_idx",
     "parabolic_solve", "ParabolicSOL", "gmsh_import", "Model", "make_mesh",
     "save_solution", "load_solution", "warm_start_grid", "zoo",
-    "plot", "save_animation",
+    "animation_html", "plot", "save_animation",
 ]

@@ -1,3 +1,3 @@
-from .plotting import plot, save_animation
+from .plotting import animation_html, plot, save_animation
 
-__all__ = ["plot", "save_animation"]
+__all__ = ["animation_html", "plot", "save_animation"]

@@ -79,6 +79,23 @@ def _plot_geom(geom, z, ax=None, **kwargs):
         return ax
     import matplotlib.tri as mtri
 
+    from ..discretize.tensorfem import TensorFEM
+
+    if isinstance(disc, TensorFEM) and disc.d == 3:
+        # volumetric 3D: render the domain boundary colored by the solution
+        # (the reference's PyVista path, ext/.../plot3d.jl, draws the same
+        # exterior-surface view; matplotlib gets the triangulated shell)
+        from matplotlib import colormaps, colors
+
+        tarr = np.asarray(_hex_boundary_tris(geom), dtype=np.int64)
+        surf = ax.plot_trisurf(xf[:, 0], xf[:, 1], xf[:, 2],
+                               triangles=tarr, **kwargs)
+        zt = z[tarr].mean(axis=1)
+        norm = colors.Normalize(zt.min(), zt.max() if zt.max() > zt.min()
+                                else zt.min() + 1)
+        surf.set_fc(colormaps["viridis"](norm(zt)))
+        return ax
+
     # quads / embedded: per-element fan triangulation in broken-node space
     # (quads are V = (k+1)^2 tensor nodes per element; fan each sub-quad)
     tris = _quad_fans(geom)
@@ -126,6 +143,56 @@ def _quad_fans(geom):
                 tris.append([a, b, d2])
                 tris.append([a, d2, c2])
     return tris
+
+
+def _hex_boundary_tris(geom):
+    """Triangles over the exterior faces of a 3D tensor (hex) geometry.
+
+    Broken nodes are (k+1)^3 per element; a face is exterior iff its set of
+    physical node positions appears on exactly one element (interior faces
+    are shared by two). Each exterior face is split into 2 triangles per
+    (k x k) sub-quad, indices into the broken node array.
+    """
+    disc = geom.discretization
+    k1 = disc.k + 1
+    N = geom.x.shape[1]
+    xf = geom.xflat()
+    # local index grids for the 6 faces of the reference hex (i fast, then
+    # j, then l — matching tensorfem's lexicographic broken-node layout)
+    idx = np.arange(k1 ** 3).reshape(k1, k1, k1)   # [l, j, i]
+    faces_local = [idx[0, :, :], idx[-1, :, :],     # l = 0, k
+                   idx[:, 0, :], idx[:, -1, :],     # j = 0, k
+                   idx[:, :, 0], idx[:, :, -1]]     # i = 0, k
+    face_key = {}
+    for e in range(N):
+        base = e * k1 ** 3
+        for f in faces_local:
+            gi = base + f.reshape(-1)
+            key = tuple(sorted(map(tuple, np.round(xf[gi], 9).tolist())))
+            face_key.setdefault(key, []).append((base, f))
+    tris = []
+    for key, hits in face_key.items():
+        if len(hits) != 1:
+            continue  # interior face (shared) — skip
+        base, f = hits[0]
+        for i in range(disc.k):
+            for j in range(disc.k):
+                a, b = base + f[i, j], base + f[i, j + 1]
+                c2, d2 = base + f[i + 1, j], base + f[i + 1, j + 1]
+                tris.append([a, b, d2])
+                tris.append([a, d2, c2])
+    return tris
+
+
+def animation_html(psol, component=0, interval=200):
+    """HTML string (self-contained JS player) for a ParabolicSOL animation —
+    the matplotlib analogue of the reference's HTML5 ``<video>`` return
+    (``ext/MultiGridBarrierPyPlotExt/plot3d.jl``)."""
+    anim = animate(psol, component=component, interval=interval)
+    try:
+        return anim.to_html5_video()       # needs ffmpeg
+    except Exception:
+        return anim.to_jshtml()
 
 
 def animate(psol, component=0, interval=200):

@@ -68,3 +68,30 @@ def test_checkpoint_roundtrip(tmp_path):
     prob2 = assemble(mg, p=1.5, g_grid=warm_start_grid(sol))
     sol2 = mgb_solve(prob2)
     assert np.abs(sol2.z - sol.z).max() < 1e-5
+
+
+def test_plot_3d_boundary_shell():
+    """Volumetric fem3d solutions render as the boundary surface colored by
+    the solution (reference ext/.../plot3d.jl renders the same view via
+    PyVista)."""
+    from mgbtpu import fem3d
+
+    g = fem3d()
+    xf = g.xflat()
+    z = xf[:, 0] + xf[:, 1] * xf[:, 2]
+    ax = plot(g, z)
+    assert ax is not None
+    # every rendered triangle got a per-face solution color
+    surf = ax.collections[0]
+    fc = surf.get_facecolors()
+    assert len(fc) > 0 and np.asarray(fc).shape[1] == 4
+
+
+def test_animation_html():
+    from mgbtpu import amg, fem1d, parabolic_solve
+    from mgbtpu.plot.plotting import animation_html
+
+    mg = amg(fem1d(nodes=np.linspace(-1, 1, 3)))
+    psol = parabolic_solve(mg, h=0.5, t0=0.0, t1=1.0, p=1.0)
+    html = animation_html(psol)
+    assert isinstance(html, str) and ("<video" in html or "<script" in html)
