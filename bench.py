@@ -41,8 +41,12 @@ def run(L: int, dtype):
     mg = amg(geom)
     setup_s = time.time() - t0
 
+    # assemble once: the solve metric matches the reference's bench.md,
+    # which times the solver given an assembled problem (re-assembling
+    # would re-trace the jitted programs and measure host tracing instead)
+    prob = assemble(mg, p=1.0, dtype=dtype)
+
     def solve():
-        prob = assemble(mg, p=1.0, dtype=dtype)
         t1 = time.time()
         sol = mgb_solve(prob)
         return time.time() - t1, sol

@@ -244,9 +244,21 @@ def prepare_amg(mg: MultiGrid, *, state_variables, D):
     trailing id rows expose nodal values for the phase-I bounding box.
     Reference ``_prepare_amg`` (``src/multigrid.jl:514-538``).
     """
-    M1 = amg_helper(mg, state_variables, D)
-    sv2 = list(state_variables) + [("_feas_slack", "full")]
-    D2 = list(D) + [("_feas_slack", "id")] + \
-        [(name, "id") for name, _ in state_variables]
-    M2 = amg_helper(mg, sv2, D2)
-    return M1, M2
+    # cache on the MultiGrid: repeat assembles of the same problem reuse the
+    # SAME AMGSystem pair, so downstream per-system caches (jitted kernels,
+    # traced ramp programs, panel ops) survive across assemble() calls —
+    # re-tracing the fused ramp costs tens of seconds at depth
+    key = (tuple((str(a), str(b)) for a, b in state_variables),
+           tuple((str(a), str(b)) for a, b in D))
+    cache = getattr(mg, "_prepare_amg_cache", None)
+    if cache is None:
+        cache = {}
+        mg._prepare_amg_cache = cache
+    if key not in cache:
+        M1 = amg_helper(mg, state_variables, D)
+        sv2 = list(state_variables) + [("_feas_slack", "full")]
+        D2 = list(D) + [("_feas_slack", "id")] + \
+            [(name, "id") for name, _ in state_variables]
+        M2 = amg_helper(mg, sv2, D2)
+        cache[key] = (M1, M2)
+    return cache[key]

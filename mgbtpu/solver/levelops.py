@@ -401,31 +401,74 @@ def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
 
 
 def _color_elements(cols: np.ndarray, N: int):
-    """Greedy element coloring: no two same-color elements share a level
-    column, so per-color scatter-adds are collision-free (used for the
-    exact dd Hessian/matvec scatters). Padding columns count as conflicts
-    (slight over-coloring, never incorrect)."""
+    """Element coloring: no two same-color elements share a level column, so
+    per-color scatter-adds are collision-free (used for the exact dd
+    Hessian/matvec scatters). Padding columns count as conflicts (slight
+    over-coloring, never incorrect).
+
+    Vectorized Jones-Plassmann-style rounds (the per-element greedy loop was
+    ~400 s at L=7): each round every uncolored element proposes the lowest
+    color not already fixed on a neighbor; per (column, proposal) groups the
+    lowest element id wins and fixes; forbidden-color bitmasks then refresh
+    by a segment-OR over columns. Terminates in ~max-degree rounds.
+    """
     if N <= 1:
         return (np.arange(max(N, 0), dtype=np.int32),)
     C = cols.shape[1]
-    flat_c = cols.reshape(-1)
+    flat_c = cols.reshape(-1).astype(np.int64)
     flat_e = np.repeat(np.arange(N, dtype=np.int64), C)
-    order = np.argsort(flat_c, kind="stable")
+    # sort (column, element) once; reused to build per-column segments
+    order = np.lexsort((flat_e, flat_c))
     fc, fe = flat_c[order], flat_e[order]
-    ncol = int(fc.max()) + 1 if len(fc) else 0
-    starts = np.searchsorted(fc, np.arange(ncol + 1))
+    seg_start = np.ones(len(fc), bool)
+    seg_start[1:] = fc[1:] != fc[:-1]
+    seg_idx = np.flatnonzero(seg_start)
+
     color = np.full(N, -1, dtype=np.int64)
-    for e in range(N):
-        used = 0
-        for c in np.unique(cols[e]):
-            for ne in fe[starts[c]:starts[c + 1]]:
-                cc = color[ne]
-                if cc >= 0:
-                    used |= 1 << int(cc)
-        k = 0
-        while (used >> k) & 1:
-            k += 1
-        color[e] = k
+    forbidden = np.zeros(N, dtype=np.uint64)   # bitmask of neighbor colors
+    ones = np.uint64(1)
+    for _round in range(64 * C):
+        todo = color < 0
+        if not todo.any():
+            break
+        # lowest zero bit of forbidden = proposal
+        fb = forbidden[todo]
+        prop = np.zeros(len(fb), dtype=np.int64)
+        rem = fb.copy()
+        while True:
+            low = (rem & ones).astype(bool)
+            if not low.any():
+                break
+            prop[low] += 1
+            rem[low] >>= ones
+        cand = np.full(N, -1, dtype=np.int64)
+        cand[todo] = prop
+        # winners: per (column, candidate) group, min element id fixes
+        fcand = cand[fe]
+        active = fcand >= 0
+        key = fc * (64 * C + 1) + fcand
+        k_a, e_a = key[active], fe[active]
+        o2 = np.lexsort((e_a, k_a))
+        k_s, e_s = k_a[o2], e_a[o2]
+        first = np.ones(len(k_s), bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        # loser = any element whose id differs from its group's min id
+        # (comparing against `first` alone would make an element with a
+        # duplicated column — padding — lose against itself, stalling)
+        grp = np.cumsum(first) - 1
+        losers = np.unique(e_s[e_s != e_s[first][grp]])
+        winners = todo.copy()
+        winners[losers] = False
+        color[winners] = cand[winners]
+        # refresh forbidden masks: segment-OR of fixed colors per column,
+        # then gather the OR over each element's columns
+        fixed_bit = np.zeros(N, dtype=np.uint64)
+        has = color >= 0
+        fixed_bit[has] = ones << color[has].astype(np.uint64)
+        col_mask = np.bitwise_or.reduceat(fixed_bit[fe], seg_idx)
+        col_of = np.zeros(int(fc[-1]) + 1, dtype=np.uint64)
+        col_of[fc[seg_idx]] = col_mask
+        forbidden = np.bitwise_or.reduce(col_of[cols.astype(np.int64)], axis=1)
     K = int(color.max()) + 1
     return tuple(np.where(color == k)[0].astype(np.int32) for k in range(K))
 
