@@ -38,14 +38,18 @@ class PanelOps:
     C: int
     dd: bool = False       # double-float reductions (the float32/TPU path)
     pcg_ctx: object = None  # PCGContext for levels above the dense threshold
-    # element coloring: tuple of int32 index arrays partitioning the element
-    # axis so that no two elements of one color share a level column. Within
-    # a color a scatter-add is collision-free (exact placement); colors are
-    # then combined with dd adds, making the Hessian/matvec scatters exact
-    # to double-float. Plain f32 scatter-adds across elements would inject
-    # eps_f32-relative noise into H, which the Newton solve amplifies by the
-    # equilibrated condition number ~ t near the central path.
-    colors: tuple = ()
+    # Inverse incidence: for each level column j, the (padded) list of flat
+    # positions e*C + slot of (element, slot) pairs whose contribution lands
+    # on j. Every adjoint/assembly "scatter-add" becomes a GATHER + masked
+    # row reduction — XLA:TPU lowers gathers onto the VPU but serializes
+    # scatter-adds, which dominated the per-CG-iteration cost — and the dd
+    # reductions become exact per column (a dd tree sum over the K axis)
+    # with no element-coloring rounds at all. Plain f32 scatter-adds across
+    # elements would inject eps_f32-relative noise into H, which the Newton
+    # solve amplifies by the equilibrated condition number ~ t near the
+    # central path.
+    inv_idx: jnp.ndarray = None   # (n_J, K) int32 into flat (N*C)
+    inv_mask: jnp.ndarray = None  # (n_J, K) bool, False on padding
 
     def apply_G(self, s):
         """(n_J,) level coefficients -> (n_nodes, nD) operator values."""
@@ -92,13 +96,12 @@ class PanelOps:
             pe = pe + self.panels * Yl[:, :, :, None]
             hi, lo = df64.dd_tree_sum((ph, pe), axis=2)
             hi, lo = df64.dd_tree_sum((hi, lo), axis=0)
-            zh = jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(hi)
-            zl = jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(lo)
+            zh, zl = self.scatter_vec_dd(hi, lo)
             return zh + zl
         Yr = Y.reshape(self.N, self.p, self.nD)
         if not self.dd:
             contrib = jnp.einsum("kNpc,Npk->Nc", self.panels, Yr)
-            return jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(contrib)
+            return self.scatter_flat(contrib)
         from ..ops import df64
 
         # products (k, N, p, C) = panels * Y, reduced over (p, k) in df64
@@ -106,8 +109,7 @@ class PanelOps:
                                Yr.transpose(2, 0, 1)[:, :, :, None])
         hi, lo = df64.dd_tree_sum((ph, pe), axis=2)
         hi, lo = df64.dd_tree_sum((hi, lo), axis=0)
-        zh = jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(hi)
-        zl = jnp.zeros((self.n_J,), dtype=Y.dtype).at[self.cols].add(lo)
+        zh, zl = self.scatter_vec_dd(hi, lo)
         return zh + zl
 
     def apply_Gt_dd(self, Y):
@@ -155,19 +157,21 @@ class PanelOps:
         H = jnp.zeros((self.n_J, self.n_J), dtype=Lnode.dtype)
         return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
 
+    def scatter_flat(self, contrib):
+        """(N, C) per-slot contributions -> (n_J,) column sums, by gathering
+        each column's contributing slots (see inv_idx) and reducing."""
+        g = contrib.reshape(-1)[self.inv_idx]
+        return jnp.where(self.inv_mask, g, 0).sum(axis=1)
+
     def scatter_vec_dd(self, vh, vl):
         """Exact dd scatter of per-element (N, C) dd contributions into a dd
-        (n_J,) vector (colored, see scatter_mat_dd)."""
+        (n_J,) pair: per-column gather + dd tree reduction over the K axis
+        (no f32 accumulation noise, no colored scatter rounds)."""
         from ..ops import df64
 
-        dtype = vh.dtype
-        acc = None
-        for idx in (self.colors or (jnp.arange(self.N, dtype=jnp.int32),)):
-            cc = self.cols[idx]
-            ch = jnp.zeros((self.n_J,), dtype=dtype).at[cc].add(vh[idx])
-            cl = jnp.zeros((self.n_J,), dtype=dtype).at[cc].add(vl[idx])
-            acc = (ch, cl) if acc is None else df64.dd_add(acc, (ch, cl))
-        return acc
+        gh = jnp.where(self.inv_mask, vh.reshape(-1)[self.inv_idx], 0)
+        gl = jnp.where(self.inv_mask, vl.reshape(-1)[self.inv_idx], 0)
+        return df64.dd_tree_sum((gh, gl), axis=1)
 
 
 @pytree_dataclass(static=("n_rows", "n_cols", "K"))
@@ -181,6 +185,10 @@ class EllOp:
     n_rows: int
     n_cols: int
     K: int
+    # transposed ELL of the same matrix: rmv (the adjoint) runs as a
+    # gather-matvec instead of an XLA scatter-add (see PanelOps.inv_idx)
+    t_idx: jnp.ndarray = None   # (n_cols, Kt)
+    t_val: jnp.ndarray = None   # (n_cols, Kt)
 
     def mv(self, x):
         return (self.val * x[self.idx]).sum(axis=1)
@@ -195,13 +203,14 @@ class EllOp:
         return DD(*df64.dd_tree_sum((ph, pe), axis=1))
 
     def rmv(self, y):
+        if self.t_idx is not None:
+            return (self.t_val * y[self.t_idx]).sum(axis=1)
         contrib = self.val * y[:, None]
         return jnp.zeros((self.n_cols,), dtype=y.dtype).at[self.idx].add(contrib)
 
 
-def build_ell(A: sp.spmatrix, dtype) -> EllOp:
-    A = sp.csr_matrix(A)
-    n, m = A.shape
+def _ell_arrays(A: sp.csr_matrix, dtype):
+    n = A.shape[0]
     counts = np.diff(A.indptr)
     K = max(int(counts.max()) if n else 1, 1)
     idx = np.zeros((n, K), dtype=np.int64)
@@ -217,8 +226,18 @@ def build_ell(A: sp.spmatrix, dtype) -> EllOp:
         last[has] = A.indices[A.indptr[1:][has] - 1]
         pad = np.arange(K)[None, :] >= counts[:, None]
         idx[pad] = np.broadcast_to(last[:, None], (n, K))[pad]
+    return idx, val, K
+
+
+def build_ell(A: sp.spmatrix, dtype) -> EllOp:
+    A = sp.csr_matrix(A)
+    n, m = A.shape
+    idx, val, K = _ell_arrays(A, dtype)
+    t_idx, t_val, _ = _ell_arrays(sp.csr_matrix(A.T), dtype)
     return EllOp(idx=jnp.asarray(idx, jnp.int32), val=jnp.asarray(val),
-                 n_rows=n, n_cols=m, K=K)
+                 n_rows=n, n_cols=m, K=K,
+                 t_idx=jnp.asarray(t_idx, jnp.int32),
+                 t_val=jnp.asarray(t_val))
 
 
 @pytree_dataclass(static=("n_levels", "dense_level"))
@@ -270,7 +289,7 @@ def gram_matvec(ops: PanelOps, Lnode, v):
     Lr = Lnode.reshape(ops.N, ops.p, ops.nD, ops.nD)
     Y = jnp.einsum("Npji,Npi->Npj", Lr, Bv)                 # back through L
     contrib = jnp.einsum("kNpc,Npk->Nc", ops.panels, Y)
-    return jnp.zeros((ops.n_J,), dtype=v.dtype).at[ops.cols].add(contrib)
+    return ops.scatter_flat(contrib)
 
 
 def y_matvec_rel(ops: PanelOps, Ydd, v):
@@ -296,9 +315,7 @@ def y_matvec_rel(ops: PanelOps, Ydd, v):
     re = re + ops.panels * Wl.transpose(2, 0, 1)[:, :, :, None]
     sh, sl = df64.dd_tree_sum((rh, re), axis=2)
     sh, sl = df64.dd_tree_sum((sh, sl), axis=0)          # (N, C)
-    out = jnp.zeros((ops.n_J,), dtype=sh.dtype)
-    out = out.at[ops.cols].add(sh)
-    return out.at[ops.cols].add(sl)
+    return ops.scatter_flat(sh) + ops.scatter_flat(sl)
 
 
 def y_matvec_dd(ops: PanelOps, Ydd, v):
@@ -333,7 +350,7 @@ def gram_diag(ops: PanelOps, Lnode):
     Lr = Lnode.reshape(ops.N, ops.p, ops.nD, ops.nD)
     B = jnp.einsum("jNpc,Npji->Npic", ops.panels, Lr)
     contrib = (B * B).sum(axis=(1, 2))                      # (N, C)
-    return jnp.zeros((ops.n_J,), dtype=Lnode.dtype).at[ops.cols].add(contrib)
+    return ops.scatter_flat(contrib)
 
 
 def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
@@ -390,87 +407,28 @@ def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
         # slot of each col within its element's sorted column list
         slot = _vector_slots(cols, counts, e, coo.col)
         panels[k, e, i, slot] += coo.data
-    colors = ()
-    if dd:
-        colors = tuple(jnp.asarray(ix, jnp.int32)
-                       for ix in _color_elements(cols, N))
+    # inverse incidence lists (see PanelOps.inv_idx): valid slots only —
+    # padded slots repeat the last column but their panels are zero
+    valid = np.arange(C)[None, :] < counts[:, None]          # (N, C)
+    flat_pos = np.flatnonzero(valid.reshape(-1))
+    flat_col = cols.reshape(-1)[flat_pos]
+    o = np.argsort(flat_col, kind="stable")
+    fp, fc = flat_pos[o], flat_col[o]
+    cnt_j = np.bincount(fc, minlength=n_J)
+    K = max(int(cnt_j.max()) if len(fc) else 1, 1)
+    off_j = np.zeros(n_J + 1, dtype=np.int64)
+    np.cumsum(cnt_j, out=off_j[1:])
+    inv_idx = np.zeros((n_J, K), dtype=np.int64)
+    inv_mask = np.zeros((n_J, K), dtype=bool)
+    slot_j = np.arange(len(fc)) - off_j[fc]
+    inv_idx[fc, slot_j] = fp
+    inv_mask[fc, slot_j] = True
     return PanelOps(
         cols=jnp.asarray(cols, dtype=jnp.int32),
         panels=jnp.asarray(panels),
-        n_nodes=m, nD=nD, n_J=n_J, p=p, N=N, C=C, dd=dd, colors=colors)
-
-
-def _color_elements(cols: np.ndarray, N: int):
-    """Element coloring: no two same-color elements share a level column, so
-    per-color scatter-adds are collision-free (used for the exact dd
-    Hessian/matvec scatters). Padding columns count as conflicts (slight
-    over-coloring, never incorrect).
-
-    Vectorized Jones-Plassmann-style rounds (the per-element greedy loop was
-    ~400 s at L=7): each round every uncolored element proposes the lowest
-    color not already fixed on a neighbor; per (column, proposal) groups the
-    lowest element id wins and fixes; forbidden-color bitmasks then refresh
-    by a segment-OR over columns. Terminates in ~max-degree rounds.
-    """
-    if N <= 1:
-        return (np.arange(max(N, 0), dtype=np.int32),)
-    C = cols.shape[1]
-    flat_c = cols.reshape(-1).astype(np.int64)
-    flat_e = np.repeat(np.arange(N, dtype=np.int64), C)
-    # sort (column, element) once; reused to build per-column segments
-    order = np.lexsort((flat_e, flat_c))
-    fc, fe = flat_c[order], flat_e[order]
-    seg_start = np.ones(len(fc), bool)
-    seg_start[1:] = fc[1:] != fc[:-1]
-    seg_idx = np.flatnonzero(seg_start)
-
-    color = np.full(N, -1, dtype=np.int64)
-    forbidden = np.zeros(N, dtype=np.uint64)   # bitmask of neighbor colors
-    ones = np.uint64(1)
-    for _round in range(64 * C):
-        todo = color < 0
-        if not todo.any():
-            break
-        # lowest zero bit of forbidden = proposal
-        fb = forbidden[todo]
-        prop = np.zeros(len(fb), dtype=np.int64)
-        rem = fb.copy()
-        while True:
-            low = (rem & ones).astype(bool)
-            if not low.any():
-                break
-            prop[low] += 1
-            rem[low] >>= ones
-        cand = np.full(N, -1, dtype=np.int64)
-        cand[todo] = prop
-        # winners: per (column, candidate) group, min element id fixes
-        fcand = cand[fe]
-        active = fcand >= 0
-        key = fc * (64 * C + 1) + fcand
-        k_a, e_a = key[active], fe[active]
-        o2 = np.lexsort((e_a, k_a))
-        k_s, e_s = k_a[o2], e_a[o2]
-        first = np.ones(len(k_s), bool)
-        first[1:] = k_s[1:] != k_s[:-1]
-        # loser = any element whose id differs from its group's min id
-        # (comparing against `first` alone would make an element with a
-        # duplicated column — padding — lose against itself, stalling)
-        grp = np.cumsum(first) - 1
-        losers = np.unique(e_s[e_s != e_s[first][grp]])
-        winners = todo.copy()
-        winners[losers] = False
-        color[winners] = cand[winners]
-        # refresh forbidden masks: segment-OR of fixed colors per column,
-        # then gather the OR over each element's columns
-        fixed_bit = np.zeros(N, dtype=np.uint64)
-        has = color >= 0
-        fixed_bit[has] = ones << color[has].astype(np.uint64)
-        col_mask = np.bitwise_or.reduceat(fixed_bit[fe], seg_idx)
-        col_of = np.zeros(int(fc[-1]) + 1, dtype=np.uint64)
-        col_of[fc[seg_idx]] = col_mask
-        forbidden = np.bitwise_or.reduce(col_of[cols.astype(np.int64)], axis=1)
-    K = int(color.max()) + 1
-    return tuple(np.where(color == k)[0].astype(np.int32) for k in range(K))
+        n_nodes=m, nD=nD, n_J=n_J, p=p, N=N, C=C, dd=dd,
+        inv_idx=jnp.asarray(inv_idx, jnp.int32),
+        inv_mask=jnp.asarray(inv_mask))
 
 
 def _vector_slots(cols, counts, e, c):

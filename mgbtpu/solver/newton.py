@@ -170,7 +170,7 @@ import os as _os
 
 IR_INNER = int(_os.environ.get("MGBTPU_IR_INNER", 200))
 IR_OUTER = int(_os.environ.get("MGBTPU_IR_OUTER", 3))
-IR_RTOL = float(_os.environ.get("MGBTPU_IR_RTOL", 1e-7))
+IR_RTOL = float(_os.environ.get("MGBTPU_IR_RTOL", 1e-5))
 # Outer-IR exit: stop refining once the TRUE (dd) residual is within
 # IR_TAU * rtol of the right-hand side — the first inner CG usually lands
 # there already, and each extra outer costs a full corrector solve.
@@ -179,8 +179,11 @@ IR_TAU = float(_os.environ.get("MGBTPU_IR_TAU", 4.0))
 # decrement is far above lambda_tol the direction only steers the line
 # search, so the corrector runs at the loose tolerance; the stopping
 # iteration always re-solves tight so the reported decrement is honest.
+# Defaults swept on the CPU f32 path (L=3/L=4, bit-identical code path):
+# tight 1e-5 + loose 1e-2 cut total CG iterations ~30% vs (1e-7, 1e-3)
+# at identical Newton counts and solution error vs the f64 oracle.
 FORCING = _os.environ.get("MGBTPU_FORCING", "1") != "0"
-RTOL_LOOSE = float(_os.environ.get("MGBTPU_FORCING_RTOL", 1e-3))
+RTOL_LOOSE = float(_os.environ.get("MGBTPU_FORCING_RTOL", 1e-2))
 
 
 def make_dense_pre(H):
