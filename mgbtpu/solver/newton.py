@@ -184,6 +184,15 @@ IR_TAU = float(_os.environ.get("MGBTPU_IR_TAU", 4.0))
 # at identical Newton counts and solution error vs the f64 oracle.
 FORCING = _os.environ.get("MGBTPU_FORCING", "1") != "0"
 RTOL_LOOSE = float(_os.environ.get("MGBTPU_FORCING_RTOL", 1e-2))
+# Preconditioner refresh policy. Frozen-per-centering preconditioners go
+# stale at t near the target (the Hessian drift within a centering exceeds
+# the f32 factorization's shift) and CG counts inflate ~40% on the last
+# ramp steps; always-refreshing pays an n^3 factorization every iteration.
+# "auto" (default) rebuilds only when the previous solve's CG count
+# crossed PRE_REFRESH_AT — staleness is measured by the symptom itself.
+PRE_REFRESH = _os.environ.get("MGBTPU_PRE_REFRESH", "auto")
+PRE_REFRESH_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_AT", 96))
+
 
 
 def make_dense_pre(H):
@@ -743,13 +752,14 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         g0 = f1(x0, *fargs)
         ok0 = Y.isfinite(y0) & G.finite(g0)
         pre0 = make_pre(f2(x0, *fargs))
+        carry_pre = PRE_REFRESH == "auto" and pre0 is not None
 
         def cond(carry):
-            x, y, g, ymin, gmin, k, status, lam_prev, cg = carry
+            (x, y, g, ymin, gmin, k, status, lam_prev, cg), _pc = carry
             return (status == RUNNING) & (k < maxit)
 
         def body(carry):
-            x, y, g, ymin, gmin, k, status, lam_prev, cg = carry
+            (x, y, g, ymin, gmin, k, status, lam_prev, cg), _pc = carry
             from .levelops import GramHessian
 
             H = f2(x, *fargs)
@@ -762,7 +772,15 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
                          & (lambda_tol >= 0)
                          & (lam_prev > 8.0 * lambda_tol))
             rtol_k = jnp.where(use_loose, RTOL_LOOSE, tight_rtol).astype(dtype)
-            n_dir, k_cg = solve(H, g, pre0, rtol_k)
+            if PRE_REFRESH == "1":
+                pre_k = make_pre(H)
+            elif carry_pre:
+                pre_prev, cg_last = _pc
+                pre_k = lax.cond(cg_last > PRE_REFRESH_AT,
+                                 lambda: make_pre(H), lambda: pre_prev)
+            else:
+                pre_k = pre0
+            n_dir, k_cg = solve(H, g, pre_k, rtol_k)
             inc = G.dot(g, n_dir)
             if not dd and not isinstance(H, GramHessian):
                 # lambda^2 <= 0 away from the objective roundoff floor: the
@@ -812,18 +830,20 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             y2 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(take, a, b), yn, y)
             g2 = G.sel(take, gn, g)
-            return (x2, y2, g2,
-                    Y.minimum(ymin, y2),
-                    jnp.minimum(gmin, G.norm(g2)),
-                    k + 1, status,
-                    jnp.where(take, sqrt_inc, lam_prev), cg + k_cg)
+            pc2 = (pre_k, k_cg) if carry_pre else _pc
+            return ((x2, y2, g2,
+                     Y.minimum(ymin, y2),
+                     jnp.minimum(gmin, G.norm(g2)),
+                     k + 1, status,
+                     jnp.where(take, sqrt_inc, lam_prev), cg + k_cg), pc2)
 
-        init = (x0, y0, g0, y0, G.norm(g0),
-                jnp.asarray(0, jnp.int32),
-                jnp.where(ok0, RUNNING, BAD_INIT).astype(jnp.int32),
-                jnp.asarray(jnp.inf, x0.dtype), jnp.asarray(0, jnp.int32))
-        (x, y, g, ymin, gmin, k, status, lam_prev,
-         cg) = lax.while_loop(cond, body, init)
+        init = ((x0, y0, g0, y0, G.norm(g0),
+                 jnp.asarray(0, jnp.int32),
+                 jnp.where(ok0, RUNNING, BAD_INIT).astype(jnp.int32),
+                 jnp.asarray(jnp.inf, x0.dtype), jnp.asarray(0, jnp.int32)),
+                (pre0, jnp.asarray(0, jnp.int32)) if carry_pre else ())
+        ((x, y, g, ymin, gmin, k, status, lam_prev, cg),
+         _pc) = lax.while_loop(cond, body, init)
         status = jnp.where(status == RUNNING, DIVERGED, status)
         return x, Y.value(y), k, status, cg
 
