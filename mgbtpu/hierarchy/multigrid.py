@@ -110,8 +110,14 @@ def _coefficient_transfers(subspaces: dict, refine: dict) -> dict:
         L = len(rX)
         Cs = []
         for l in range(L - 1):
-            target = sp.csr_matrix(rX[l] @ sX[l])
-            E = sp.csr_matrix(sX[l + 1])
+            # solve in float64 whatever the geometry dtype: float32 R
+            # matrices fail an absolute 1e-8 nestedness check from their
+            # own rounding (~1e-7), silently disabling every coefficient
+            # transfer — and with them the V-cycle PCG path at depth
+            in_dtype = np.result_type(rX[l].dtype, sX[l].dtype)
+            target = sp.csr_matrix(rX[l].astype(np.float64)
+                                   @ sX[l].astype(np.float64))
+            E = sp.csr_matrix(sX[l + 1].astype(np.float64))
             n_next = E.shape[1]
             if E.shape[0] == E.shape[1] and (E - sp.identity(E.shape[0])).nnz == 0:
                 Cs.append(target)
@@ -134,9 +140,11 @@ def _coefficient_transfers(subspaces: dict, refine: dict) -> dict:
             except Exception:
                 C = None
             if C is not None:
-                # verify nestedness (drop if the subspace is not nested)
+                # verify nestedness (drop if the subspace is not nested);
+                # float32 inputs are only trusted to their own rounding
+                tol = 1e-8 if np.dtype(in_dtype).itemsize >= 8 else 3e-6
                 err = abs(E @ C - target).max() if target.nnz else 0.0
-                if err > 1e-8 * max(1.0, abs(target).max() if target.nnz else 1.0):
+                if err > tol * max(1.0, abs(target).max() if target.nnz else 1.0):
                     C = None
             Cs.append(C)
         out[X] = Cs

@@ -158,10 +158,13 @@ class PanelOps:
         return H.at[self.cols[:, :, None], self.cols[:, None, :]].add(He)
 
     def scatter_flat(self, contrib):
-        """(N, C) per-slot contributions -> (n_J,) column sums, by gathering
-        each column's contributing slots (see inv_idx) and reducing."""
-        g = contrib.reshape(-1)[self.inv_idx]
-        return jnp.where(self.inv_mask, g, 0).sum(axis=1)
+        """(N, C) per-slot contributions -> (n_J,) column sums. Plain XLA
+        scatter-add: measured faster than the padded gather-sum on TPU for
+        panel shapes (the gather variant tripled the per-CG-iteration
+        cost); the gather path (inv_idx) is kept for the EXACT dd scatter,
+        where it replaces K sequential colored scatter rounds."""
+        return jnp.zeros((self.n_J,), dtype=contrib.dtype
+                         ).at[self.cols].add(contrib)
 
     def scatter_vec_dd(self, vh, vl):
         """Exact dd scatter of per-element (N, C) dd contributions into a dd

@@ -192,6 +192,23 @@ RTOL_LOOSE = float(_os.environ.get("MGBTPU_FORCING_RTOL", 1e-2))
 # crossed PRE_REFRESH_AT — staleness is measured by the symptom itself.
 PRE_REFRESH = _os.environ.get("MGBTPU_PRE_REFRESH", "auto")
 PRE_REFRESH_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_AT", 96))
+# Dense-path refresh pays an n^3 factorization: measured break-even on TPU
+# sits between n_J = 1345 (refresh wins, L=4) and 5057 (frozen wins, L=5)
+PRE_REFRESH_MAXN = int(_os.environ.get("MGBTPU_PRE_REFRESH_MAXN", 3072))
+
+
+def _refresh_allowed(H):
+    from .levelops import GramHessian
+
+    if not isinstance(H, GramHessian):
+        return False
+    if H.ctx is None:
+        return H.ops.n_J <= PRE_REFRESH_MAXN
+    return True   # PCG pre rebuilds are coarse-level work only
+# V-cycle smoother: "cheby" (Chebyshev polynomial on D^-1 H, degree
+# MGBTPU_CHEB_DEG) or "jacobi" (one damped sweep, omega=0.7)
+SMOOTHER = _os.environ.get("MGBTPU_SMOOTHER", "cheby")
+CHEB_DEG = int(_os.environ.get("MGBTPU_CHEB_DEG", 3))
 
 
 
@@ -410,10 +427,24 @@ def make_pcg_pre(H, smooth_omega=0.7):
             lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
             cf_a, cf_b)
         dense_chos.append((cho_solve(cf, eye), dinv))
+    from .levelops import gram_matvec as _gmv
+
+    def smooth_data(o):
+        # diagonal + lambda_max(D^-1 H) estimate (power iteration) for the
+        # Chebyshev smoother; deterministic start vector
+        d = gram_diag(o, Lnode)
+        dinv = jnp.where(d > 0, 1.0 / d, 0.0)
+        v = jnp.ones((o.n_J,), dtype)
+        for _ in range(8):
+            v = dinv * _gmv(o, Lnode, v)
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+        lmax = jnp.vdot(v, dinv * _gmv(o, Lnode, v)) /             jnp.maximum(jnp.vdot(v, v), 1e-30)
+        return (d, jnp.abs(lmax) * 1.05)
+
     diags = {}
     for l in range(ctx.dense_level + 1, ctx.n_levels):
-        diags[l] = gram_diag(ctx.coarse_ops[l], Lnode)
-    diag_top = gram_diag(ops, Lnode)
+        diags[l] = smooth_data(ctx.coarse_ops[l])
+    diag_top = smooth_data(ops)
     return (dense_chos, diags, diag_top)
 
 
@@ -457,11 +488,42 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
         o = ops if l == ctx.n_levels else ctx.coarse_ops[l]
         return gram_matvec(o, Lnode, v)
 
+    def smooth(l, b, x0=None):
+        # Chebyshev(CHEB_DEG) on D^-1 H over [lmax/4, lmax] (hypre-style
+        # smoothing band): much stronger high-frequency damping than one
+        # damped-Jacobi sweep at CHEB_DEG matvecs per application
+        d, lmax = diag_top if l == ctx.n_levels else diags[l]
+        dinv = jnp.where(d > 0, 1.0 / d, 0.0)
+        lmin = lmax / 4.0
+        theta = (lmax + lmin) / 2.0
+        delta = (lmax - lmin) / 2.0
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        if x0 is None:
+            x = dinv * b / theta
+        else:
+            x = x0 + dinv * (b - level_mv(l, x0)) / theta
+        dvec = x if x0 is None else x - x0
+        for _ in range(CHEB_DEG - 1):
+            r = b - level_mv(l, x)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            dvec = rho_new * rho * dvec + (2.0 * rho_new / delta) * (dinv * r)
+            x = x + dvec
+            rho = rho_new
+        return x
+
     def cycle(l, r):
         if l <= ctx.dense_level:
             Minv_l, dinv = dense_chos[l]
             return dinv * (Minv_l @ (dinv * r))
-        d = diag_top if l == ctx.n_levels else diags[l]
+        if SMOOTHER == "cheby":
+            x = smooth(l, r)
+            resid = r - level_mv(l, x)
+            T = ctx.transfers[l - 1]
+            xc = cycle(l - 1, T.rmv(resid))
+            x = x + T.mv(xc)
+            return smooth(l, r, x0=x)
+        d, _ = diag_top if l == ctx.n_levels else diags[l]
         dinv = jnp.where(d > 0, smooth_omega / d, 0.0)
         x = dinv * r
         resid = r - level_mv(l, x)
@@ -482,7 +544,8 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
     # spans ~t^2 orders of magnitude near the reference tolerance and f32 CG
     # quantities formed from it drift into under/overflow (see
     # dense_ir_solve). Hs = D H D with D = diag(1/sqrt(diag H)).
-    dt = jnp.sqrt(jnp.where(diag_top > 0, diag_top, 1.0))
+    d_top = diag_top[0]
+    dt = jnp.sqrt(jnp.where(d_top > 0, d_top, 1.0))
 
     def mv_s(u):
         if not ops.dd:
@@ -751,8 +814,10 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         y0 = f0(x0, *fargs)
         g0 = f1(x0, *fargs)
         ok0 = Y.isfinite(y0) & G.finite(g0)
-        pre0 = make_pre(f2(x0, *fargs))
-        carry_pre = PRE_REFRESH == "auto" and pre0 is not None
+        H0 = f2(x0, *fargs)
+        pre0 = make_pre(H0)
+        carry_pre = (PRE_REFRESH == "auto" and pre0 is not None
+                     and _refresh_allowed(H0))
 
         def cond(carry):
             (x, y, g, ymin, gmin, k, status, lam_prev, cg), _pc = carry
