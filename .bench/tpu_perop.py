@@ -1,0 +1,89 @@
+import sys; sys.path.insert(0, "/root/repo")
+"""Per-op device cost at the L=5 fine level via in-jit repetition:
+each benched op runs R times inside one jit (chained through the carry so
+XLA cannot elide it); wall time of the warm call / R ~= per-op cost.
+Dispatch/sync overhead through the axon tunnel amortizes out."""
+import os, time
+os.environ["MGBTPU_NO_X64"] = "1"
+from mgbtpu._config import enable_compile_cache
+enable_compile_cache()
+import numpy as np, jax, jax.numpy as jnp
+from jax import lax
+from mgbtpu import amg, assemble, fem2d_P2, subdivide
+from mgbtpu.solver.mgb import _kernels_for
+from mgbtpu.solver.newton import linesearch_backtracking, make_pcg_pre, make_dense_pre
+from mgbtpu.solver import levelops as lo
+
+L = int(os.environ.get("PEROP_L", "5"))
+g = subdivide(fem2d_P2(dtype=np.float32), L); mg = amg(g)
+prob = assemble(mg, p=1.0, dtype=np.float32)
+M1 = prob.M[0]
+kern = _kernels_for(M1, prob.Q.barrier, linesearch_backtracking(), np.float32)
+l = M1.depth - 1
+ops = kern.ops(l)
+z0 = np.asarray(prob.g_grid, np.float64).T.reshape(-1)
+Dz0 = kern._Dz0_for(z0)
+dtype = np.float32
+w = M1.w.astype(dtype); c = np.asarray(prob.f_grid, dtype)
+wc = jnp.asarray(w[:, None] * (1.0 * c))
+bw = jnp.asarray(np.full(len(w), 1.0/len(w), dtype))
+args = tuple(prob.Q.args)
+f0, f1, f2 = kern.fns
+s0 = jnp.zeros((ops.n_J,), dtype)
+H = f2(s0, ops, Dz0, wc, bw, *args)
+gvec = f1(s0, ops, Dz0, wc, bw, *args)
+print("n_J", ops.n_J, "N", ops.N, "ctx", H.ctx is not None, flush=True)
+
+def bench(name, fn, x0, R=512):
+    def body(i, x):
+        return fn(x)
+    stepped = jax.jit(lambda x: lax.fori_loop(0, R, body, x))
+    r = stepped(x0)
+    jax.tree_util.tree_map(lambda a: np.asarray(a), r)  # warm + sync
+    t0 = time.time()
+    r = stepped(x0)
+    s = jax.tree_util.tree_map(lambda a: float(np.asarray(a).ravel()[0]), r)
+    el = (time.time() - t0) / R
+    print(f"{name:28s} {el*1e3:9.3f} ms", flush=True)
+
+from mgbtpu.ops.ddarray import DD, fl
+x = jnp.ones((ops.n_J,), dtype)
+Ydd = H.Ydd
+bench("y_matvec_rel (CG matvec)", lambda v: lo.y_matvec_rel(ops, Ydd, v) * 0.5 + v * 1e-9, x)
+bench("y_matvec_dd (IR matvec)", lambda v: lo.y_matvec_dd(ops, Ydd, v)[0] * 0.5 + v * 1e-9, x)
+bench("gram_matvec f32", lambda v: lo.gram_matvec(ops, H.Lnode, v) * 0.5 + v * 1e-9, x)
+if H.ctx is None:
+    H32 = H.H32
+    bench("dense H32 @ v (f32 MXU)", lambda v: (H32 @ v) * 1e-9 + v, x)
+    pre = make_dense_pre(H)
+    Minv, dinv = pre
+    bench("Minv @ r (pre apply)", lambda v: (Minv @ v) * 1e-9 + v, x)
+from mgbtpu.ops import df64
+bench("dd_dot pair", lambda v: v + df64.dd_dot(v, v)[0] * 1e-20, x)
+if H.ctx is not None:
+    pre = make_pcg_pre(H)
+    dense_chos, diags, diag_top = pre
+    ctx = H.ctx
+    def vcycle(r):
+        def cyc(li, rr):
+            if li <= ctx.dense_level:
+                Minv_l, dinv = dense_chos[li]
+                return dinv * (Minv_l @ (dinv * rr))
+            d = diag_top if li == ctx.n_levels else diags[li]
+            dinv = jnp.where(d > 0, 0.7 / d, 0.0)
+            xx = dinv * rr
+            o = ops if li == ctx.n_levels else ctx.coarse_ops[li]
+            resid = rr - lo.gram_matvec(o, H.Lnode, xx)
+            T = ctx.transfers[li - 1]
+            xc = cyc(li - 1, T.rmv(resid))
+            xx = xx + T.mv(xc)
+            return xx + dinv * (rr - lo.gram_matvec(o, H.Lnode, xx))
+        return cyc(ctx.n_levels, r)
+    bench("V-cycle apply", lambda v: vcycle(v) * 0.5 + v * 1e-9, x)
+bench("f1 gradient", lambda v: fl(f1(v, ops, Dz0, wc, bw, *args)) * 1e-9 + v, x)
+bench("f0 objective", lambda v: v + 1e-12 * f0(v, ops, Dz0, wc, bw, *args).hi.astype(dtype), x, R=256)
+def f2cost(v):
+    Hh = f2(v, ops, Dz0, wc, bw, *args)
+    leaf = Hh.Ydd[0].hi if isinstance(Hh.Ydd, tuple) else Hh.Ydd.hi
+    return v + 1e-12 * jnp.sum(leaf).astype(dtype)
+bench("f2 hessian build", f2cost, x, R=64)

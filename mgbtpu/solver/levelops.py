@@ -258,6 +258,7 @@ class PCGContext:
     transfers: tuple        # tuple of EllOp, len == n_levels
     n_levels: int
     dense_level: int
+    fsai: object = None     # FSAIPlan of the solve level (see solver/fsai.py)
 
 
 @pytree_dataclass(static=())

@@ -198,10 +198,13 @@ class ProblemKernels:
             for j in range(a + 1, b):
                 T = self.M.T_fine[j] @ T
             transfers.append(build_ell(T.astype(self.dtype), self.dtype))
+        from .fsai import build_fsai_plan
+
         ctx = PCGContext(
             coarse_ops=tuple(self._plain_ops(j) for j in chosen),
             transfers=tuple(transfers),
-            n_levels=len(chosen), dense_level=0)
+            n_levels=len(chosen), dense_level=0,
+            fsai=build_fsai_plan(np.asarray(base.cols), base.n_J))
         out = dataclasses.replace(base, pcg_ctx=ctx)
         self._ops_solve[l] = out
         return out

@@ -209,6 +209,10 @@ def _refresh_allowed(H):
 # MGBTPU_CHEB_DEG) or "jacobi" (one damped sweep, omega=0.7)
 SMOOTHER = _os.environ.get("MGBTPU_SMOOTHER", "cheby")
 CHEB_DEG = int(_os.environ.get("MGBTPU_CHEB_DEG", 3))
+# Large-level preconditioner: "fsai" (factorized sparse approximate
+# inverse on the level Gram Hessian, solver/fsai.py — measured 69 CG its
+# where the V-cycle took 319 and Jacobi 157 at L=6) or "vcycle"
+BIG_PRE = _os.environ.get("MGBTPU_BIG_PRE", "fsai")
 
 
 
@@ -400,9 +404,10 @@ def _tree_finite(t):
 
 
 def make_pcg_pre(H, smooth_omega=0.7):
-    """Frozen V-cycle data for one centering: coarse assemblies + shifted
-    Cholesky INVERSES and smoother diagonals (see make_dense_pre for the
-    freezing rationale)."""
+    """Preconditioner data for one centering of a matrix-free level:
+    either the FSAI factor triple (G, G', sqrt-diag; BIG_PRE="fsai") or
+    the frozen V-cycle data (coarse assemblies + shifted Cholesky
+    inverses + smoother diagonals)."""
     import numpy as _np
     from jax.scipy.linalg import cho_factor, cho_solve
 
@@ -410,6 +415,10 @@ def make_pcg_pre(H, smooth_omega=0.7):
 
     ops = H.ops
     ctx = H.ctx
+    if BIG_PRE == "fsai" and getattr(ctx, "fsai", None) is not None:
+        from .fsai import fsai_values
+
+        return fsai_values(ctx.fsai, ops, H.Lnode)
     Lnode = H.Lnode
     dtype = Lnode.dtype
     eps = float(_np.finfo(_np.dtype(dtype)).eps)
@@ -482,7 +491,13 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
 
     if pre is None:
         pre = make_pcg_pre(H, smooth_omega)
-    dense_chos, diags, diag_top = pre
+    use_fsai = (BIG_PRE == "fsai" and getattr(ctx, "fsai", None) is not None)
+    if use_fsai:
+        from .fsai import fsai_apply
+
+        G_vals, Gt_vals, dpos = pre
+    else:
+        dense_chos, diags, diag_top = pre
 
     def level_mv(l, v):
         o = ops if l == ctx.n_levels else ctx.coarse_ops[l]
@@ -544,8 +559,11 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
     # spans ~t^2 orders of magnitude near the reference tolerance and f32 CG
     # quantities formed from it drift into under/overflow (see
     # dense_ir_solve). Hs = D H D with D = diag(1/sqrt(diag H)).
-    d_top = diag_top[0]
-    dt = jnp.sqrt(jnp.where(d_top > 0, d_top, 1.0))
+    if use_fsai:
+        dt = dpos
+    else:
+        d_top = diag_top[0]
+        dt = jnp.sqrt(jnp.where(d_top > 0, d_top, 1.0))
 
     def mv_s(u):
         if not ops.dd:
@@ -556,8 +574,12 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
 
         return _ymv(ops, H.Ydd, u / dt) / dt
 
-    def M_s(rs):
-        return dt * M(dt * rs)
+    if use_fsai:
+        def M_s(rs):
+            return fsai_apply(ctx.fsai, G_vals, Gt_vals, rs)
+    else:
+        def M_s(rs):
+            return dt * M(dt * rs)
 
     def inner(b):
         bs = b / dt
