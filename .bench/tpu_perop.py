@@ -30,8 +30,9 @@ bw = jnp.asarray(np.full(len(w), 1.0/len(w), dtype))
 args = tuple(prob.Q.args)
 f0, f1, f2 = kern.fns
 s0 = jnp.zeros((ops.n_J,), dtype)
-H = f2(s0, ops, Dz0, wc, bw, *args)
-gvec = f1(s0, ops, Dz0, wc, bw, *args)
+print("setup done; compiling f2/f1", flush=True)
+H = jax.jit(f2)(s0, ops, Dz0, wc, bw, *args)
+gvec = jax.jit(f1)(s0, ops, Dz0, wc, bw, *args)
 print("n_J", ops.n_J, "N", ops.N, "ctx", H.ctx is not None, flush=True)
 
 def bench(name, fn, x0, R=512):
@@ -81,7 +82,7 @@ if H.ctx is not None:
         return cyc(ctx.n_levels, r)
     bench("V-cycle apply", lambda v: vcycle(v) * 0.5 + v * 1e-9, x)
 bench("f1 gradient", lambda v: fl(f1(v, ops, Dz0, wc, bw, *args)) * 1e-9 + v, x)
-bench("f0 objective", lambda v: v + 1e-12 * f0(v, ops, Dz0, wc, bw, *args).hi.astype(dtype), x, R=256)
+bench("f0 objective", lambda v: v + 1e-12 * df64.s_hi(f0(v, ops, Dz0, wc, bw, *args)).astype(dtype), x, R=256)
 def f2cost(v):
     Hh = f2(v, ops, Dz0, wc, bw, *args)
     leaf = Hh.Ydd[0].hi if isinstance(Hh.Ydd, tuple) else Hh.Ydd.hi

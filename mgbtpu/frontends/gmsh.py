@@ -466,7 +466,6 @@ def gmsh_import(path, *, bubble=True, dtype=np.float64):
             # coincide because the restriction of the map to a conforming
             # shared edge is the same polynomial.
             E1 = _cheb_resample_matrix(k, np.float64)
-            E = np.kron(E1, E1) if False else np.einsum("ia,jb->ijab", E1, E1)                .reshape(s * s, s * s, order="F")
             # tensor slot = i + s*j (axis-1 fastest): E_full[(i,j),(a,b)] =
             # E1[i,a] * E1[j,b]
             E_full = np.zeros((V, V))

@@ -339,8 +339,12 @@ class Model:
                     else:
                         node_pairs += list(c.region)
                 if whole or not node_pairs:
-                    dirichlet_sets[sym] = find_boundary(geom) +                         [tuple(pr) for pr in node_pairs
-                         if isinstance(pr, (tuple, list))]
+                    # normalize flat broken-node indices to (v, e) pairs
+                    # (flat = e*V + v, see _pairs_to_flat) so they survive
+                    # the union with the whole-boundary pair set
+                    dirichlet_sets[sym] = find_boundary(geom) +                         [tuple(pr) if isinstance(pr, (tuple, list, np.ndarray))
+                         else (int(pr) % V, int(pr) // V)
+                         for pr in node_pairs]
                 else:
                     dirichlet_sets[sym] = list(node_pairs)
                 sv.append((n, sym))

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import scipy.sparse as sp
 
-from ..utils import pytree_dataclass
+from ..utils import pytree_dataclass, to_dev
 
 
 @pytree_dataclass(static=("n_J", "kh", "k"))
@@ -93,17 +93,40 @@ def build_fsai_plan(cols: np.ndarray, n_J: int) -> FSAIPlan:
 
     diag_slot = s_of[gslot(np.arange(n_J), np.arange(n_J))]
 
-    # lower-triangular pattern, diagonal last
+    # lower-triangular pattern, diagonal last. The per-row neighbor count is
+    # capped at MGBTPU_FSAI_K: a handful of hub rows (corner dofs shared by
+    # many elements) otherwise blow the ELL width to their max count —
+    # measured kh=67 at L=6, making the pos table (n_J, 67, 67) ~365 MB and
+    # the batched factor solve 67^3 per row. Truncated FSAI stays SPD (G is
+    # lower triangular, positive diagonal); for capped rows we keep the
+    # neighbors sharing the MOST elements with the row (the multiplicity in
+    # P.data — a structural proxy for coupling strength), which degrades the
+    # approximation gracefully on exactly the rows where it was overbuilt.
+    k_cap = int(__import__("os").environ.get("MGBTPU_FSAI_K", 32))
     low_mask_csr = indices <= r_of
-    lcounts = np.bincount(r_of[low_mask_csr], minlength=n_J)
-    k = int(lcounts.max())
-    low_idx = np.zeros((n_J, k), np.int64)
-    low_mask = np.zeros((n_J, k), bool)
     lr = r_of[low_mask_csr]
     lc = indices[low_mask_csr]
-    ls = (np.arange(low_mask_csr.sum())
+    lmult = np.asarray(P.data)[low_mask_csr].astype(np.int64)
+    is_diag = lc == lr
+    # priority: diagonal always first, then by descending multiplicity
+    prio = np.where(is_diag, np.int64(1) << 40, lmult)
+    order = np.lexsort((-lc, -prio, lr))          # rows contiguous
+    lr_s, lc_s = lr[order], lc[order]
+    cnt_all = np.bincount(lr_s, minlength=n_J)
+    start = np.insert(np.cumsum(cnt_all), 0, 0)[:-1]
+    rank = np.arange(len(lr_s)) - start[lr_s]
+    keep = rank < k_cap
+    lr, lc = lr_s[keep], lc_s[keep]
+    # restore ascending-column order within rows (diagonal = largest col)
+    o2 = np.lexsort((lc, lr))
+    lr, lc = lr[o2], lc[o2]
+    lcounts = np.bincount(lr, minlength=n_J)
+    k = int(lcounts.max()) if len(lr) else 1
+    low_idx = np.zeros((n_J, k), np.int64)
+    low_mask = np.zeros((n_J, k), bool)
+    ls = (np.arange(len(lr))
           - np.repeat(np.insert(np.cumsum(lcounts), 0, 0)[:-1], lcounts))
-    # shift so the diagonal (the largest col <= i, always present) lands in
+    # shift so the diagonal (the largest kept col, always present) lands in
     # slot k-1: put row i's entries at slots k - lcounts[i] .. k-1
     ls = ls + (k - lcounts)[lr]
     low_idx[lr, ls] = lc
@@ -125,10 +148,9 @@ def build_fsai_plan(cols: np.ndarray, n_J: int) -> FSAIPlan:
     pos_ok = present.reshape(n_J, k, k)
 
     # transpose pattern: G'[i, j] = G[j, slot of i in low_idx[j]] for j >= i
-    # with (j, i) in the lower pattern
-    tr = lc          # G rows j (lower entries (j, i=lc? careful))
-    # lower entries are (row=lr_orig, col=lc): G[lr, lc]; transpose row=lc
-    lr_all = r_of[low_mask_csr]
+    # with (j, i) in the (capped) lower pattern
+    # lower entries are (row=lr, col=lc): G[lr, lc]; transpose row=lc
+    lr_all = lr
     tcounts = np.bincount(lc, minlength=n_J)
     kt = int(tcounts.max()) if len(lc) else 1
     t_perm = np.zeros((n_J, kt), np.int64)
@@ -145,17 +167,17 @@ def build_fsai_plan(cols: np.ndarray, n_J: int) -> FSAIPlan:
     t_col[tc_sorted, tslot] = src_row
 
     return FSAIPlan(
-        ell_col=jnp.asarray(ell_col, jnp.int32),
-        ell_mask=jnp.asarray(ell_mask),
-        diag_slot=jnp.asarray(diag_slot, jnp.int32),
-        scat_idx=jnp.asarray(scat_idx, jnp.int32),
-        low_idx=jnp.asarray(low_idx, jnp.int32),
-        low_mask=jnp.asarray(low_mask),
-        pos=jnp.asarray(pos, jnp.int32),
-        pos_ok=jnp.asarray(pos_ok),
-        t_perm=jnp.asarray(t_perm, jnp.int32),
-        t_mask=jnp.asarray(t_mask),
-        t_col=jnp.asarray(t_col, jnp.int32),
+        ell_col=to_dev(ell_col, np.int32),
+        ell_mask=to_dev(ell_mask),
+        diag_slot=to_dev(diag_slot, np.int32),
+        scat_idx=to_dev(scat_idx, np.int32),
+        low_idx=to_dev(low_idx, np.int32),
+        low_mask=to_dev(low_mask),
+        pos=to_dev(pos, np.int32),
+        pos_ok=to_dev(pos_ok),
+        t_perm=to_dev(t_perm, np.int32),
+        t_mask=to_dev(t_mask),
+        t_col=to_dev(t_col, np.int32),
         n_J=n_J, kh=kh, k=max(kt, k))
 
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import scipy.sparse as sp
 
-from ..utils import pytree_dataclass
+from ..utils import pytree_dataclass, to_dev
 
 
 @pytree_dataclass(static=("n_nodes", "nD", "n_J", "p", "N", "C", "dd"))
@@ -237,10 +237,10 @@ def build_ell(A: sp.spmatrix, dtype) -> EllOp:
     n, m = A.shape
     idx, val, K = _ell_arrays(A, dtype)
     t_idx, t_val, _ = _ell_arrays(sp.csr_matrix(A.T), dtype)
-    return EllOp(idx=jnp.asarray(idx, jnp.int32), val=jnp.asarray(val),
+    return EllOp(idx=to_dev(idx, np.int32), val=to_dev(val),
                  n_rows=n, n_cols=m, K=K,
-                 t_idx=jnp.asarray(t_idx, jnp.int32),
-                 t_val=jnp.asarray(t_val))
+                 t_idx=to_dev(t_idx, np.int32),
+                 t_val=to_dev(t_val))
 
 
 @pytree_dataclass(static=("n_levels", "dense_level"))
@@ -427,12 +427,18 @@ def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
     slot_j = np.arange(len(fc)) - off_j[fc]
     inv_idx[fc, slot_j] = fp
     inv_mask[fc, slot_j] = True
-    return PanelOps(
-        cols=jnp.asarray(cols, dtype=jnp.int32),
-        panels=jnp.asarray(panels),
+    out = PanelOps(
+        cols=to_dev(cols, np.int32),
+        panels=to_dev(panels),
         n_nodes=m, nD=nD, n_J=n_J, p=p, N=N, C=C, dd=dd,
-        inv_idx=jnp.asarray(inv_idx, jnp.int32),
-        inv_mask=jnp.asarray(inv_mask))
+        inv_idx=to_dev(inv_idx, np.int32),
+        inv_mask=to_dev(inv_mask))
+    # host copy for downstream host-side pattern builders (build_fsai_plan):
+    # np.asarray(ops.cols) would BLOCK on every device transfer queued so
+    # far — tens of seconds through the TPU tunnel at depth. Non-field
+    # attribute: invisible to the pytree protocol.
+    object.__setattr__(out, "host_cols", np.asarray(cols, np.int32))
+    return out
 
 
 def _vector_slots(cols, counts, e, c):

@@ -17,6 +17,15 @@ import jax
 import jax.numpy as jnp
 
 from .._config import eps as dtype_eps
+
+
+def _debug_timing(tag, t0):
+    """Phase timing for the host-side plan builders (MGBTPU_TIMING=1)."""
+    import os as _o
+
+    if _o.environ.get("MGBTPU_TIMING"):
+        print(f"[mgbtpu-timing] {tag}: {time.time() - t0:.2f}s", flush=True)
+
 from ..convex.convex import Convex, validate_convex_inputs
 from ..hierarchy.multigrid import AMGSystem, prepare_amg
 from ..utils.errors import MGBConvergenceFailure
@@ -156,9 +165,11 @@ class ProblemKernels:
 
     def _plain_ops(self, l):
         if l not in self._ops:
+            t0 = time.time()
             self._ops[l] = build_panel_ops(self.M.D_fine, self.M.nu,
                                            self.M.R_fine[l], self.p,
                                            self.dtype, dd=self.dd)
+            _debug_timing(f"plain_ops[{l}] n_J={self._ops[l].n_J}", t0)
         return self._ops[l]
 
     def ops(self, l):
@@ -193,19 +204,29 @@ class ProblemKernels:
         # composed transfers between consecutive chosen levels (and up to l)
         hops = chosen + [l]
         transfers = []
+        t0 = time.time()
         for a, b in zip(hops[:-1], hops[1:]):
             T = self.M.T_fine[a]
             for j in range(a + 1, b):
                 T = self.M.T_fine[j] @ T
             transfers.append(build_ell(T.astype(self.dtype), self.dtype))
+        _debug_timing(f"transfers[{l}]", t0)
         from .fsai import build_fsai_plan
 
+        t0 = time.time()
+        cols_host = getattr(base, "host_cols", None)
+        if cols_host is None:  # pragma: no cover - legacy pickles
+            cols_host = np.asarray(base.cols)
+        fsai = build_fsai_plan(cols_host, base.n_J)
+        _debug_timing(f"fsai_plan[{l}]", t0)
+        t0 = time.time()
         ctx = PCGContext(
             coarse_ops=tuple(self._plain_ops(j) for j in chosen),
             transfers=tuple(transfers),
             n_levels=len(chosen), dense_level=0,
-            fsai=build_fsai_plan(np.asarray(base.cols), base.n_J))
+            fsai=fsai)
         out = dataclasses.replace(base, pcg_ctx=ctx)
+        _debug_timing(f"ctx_replace[{l}]", t0)
         self._ops_solve[l] = out
         return out
 

@@ -1,4 +1,4 @@
-from .pytree import pytree_dataclass
+from .pytree import pytree_dataclass, to_dev
 from .log import Log, safe_pow, Logger
 from .maps import map_rows
 from .errors import MGBConvergenceFailure
@@ -6,6 +6,7 @@ from .interpolate import interpolate, chebfun
 
 __all__ = [
     "pytree_dataclass",
+    "to_dev",
     "Log",
     "safe_pow",
     "Logger",

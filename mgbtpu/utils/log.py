@@ -74,6 +74,10 @@ class Logger:
 
     def __init__(self, stream=None):
         self.lines: list[str] = []
+        if isinstance(stream, (str, bytes)):
+            # a path: line-buffered append, matching the reference's
+            # logfile= kwarg (src/mgb.jl:729-797)
+            stream = open(stream, "a", buffering=1)
         self.stream = stream
 
     def __call__(self, tag: str, *args):

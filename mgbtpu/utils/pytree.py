@@ -22,3 +22,24 @@ def pytree_dataclass(cls=None, *, static=()):
         return c
 
     return wrap(cls) if cls is not None else wrap
+
+
+def to_dev(x, dtype=None):
+    """Host->device transfer WITHOUT an eager XLA op.
+
+    ``jnp.asarray(x, dtype)`` with a dtype change (or an x64 input under
+    x64-disabled) lowers to an eager ``convert_element_type`` — a separate
+    XLA *compile* per distinct shape. The host-side plan builders
+    (``build_panel_ops``/``build_ell``/``build_fsai_plan``) emit dozens of
+    distinct shapes per hierarchy, and on the TPU-tunnel backend each eager
+    compile costs seconds (measured: ~180 s of "hang" building the L=6
+    plans). Converting in NumPy first makes the transfer a pure
+    ``device_put``: no compile, async, amortized by the runtime.
+    """
+    import numpy as np
+    import jax
+
+    a = np.asarray(x)
+    if dtype is not None:
+        a = np.ascontiguousarray(a, dtype=dtype)
+    return jax.device_put(a)

@@ -25,9 +25,22 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compile cache: the dd Newton/ramp programs take minutes of
-# XLA:CPU compile; cache them across test runs on this machine
+# XLA:CPU compile; cache them across test runs. Keyed per user and per CPU
+# (AOT artifacts compiled with other machine features can SIGILL), and an
+# explicit JAX_COMPILATION_CACHE_DIR wins.
 try:  # pragma: no cover - environment dependent
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mgbtpu_testcache")
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        import hashlib
+        import platform
+        import tempfile
+
+        fp = hashlib.sha1(
+            (platform.machine() + platform.processor()).encode()
+        ).hexdigest()[:8]
+        cache = os.path.join(
+            tempfile.gettempdir(),
+            f"mgbtpu_testcache_{os.getuid()}_{fp}")
+        jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:
     pass
