@@ -61,7 +61,26 @@ if H.ctx is None:
     bench("Minv @ r (pre apply)", lambda v: (Minv @ v) * 1e-9 + v, x)
 from mgbtpu.ops import df64
 bench("dd_dot pair", lambda v: v + df64.dd_dot(v, v)[0] * 1e-20, x)
-if H.ctx is not None:
+if H.ctx is not None and os.environ.get("MGBTPU_BIG_PRE", "fsai2").startswith("fsai"):
+    from mgbtpu.solver.fsai import fsai_values, fsai_apply
+    from mgbtpu.solver.newton import make_pcg_pre
+    plan = H.ctx.fsai
+    def fv(v):
+        Gt, dp = fsai_values(plan, ops, H.Lnode + v[0] * 1e-30)
+        return v + Gt[0, 0, 0] * 1e-12
+    bench("fsai_values (refresh)", fv, x, R=64)
+    import dataclasses as _dc
+    def fp(v):
+        H2 = _dc.replace(H, Lnode=H.Lnode + v[0] * 1e-30)
+        pre = make_pcg_pre(H2)
+        return v + pre[0][0, 0, 0] * 1e-12
+    bench("make_pcg_pre (full)", fp, x, R=32)
+    Gt, dp = jax.jit(fsai_values)(plan, ops, H.Lnode)
+    bench("fsai_apply", lambda v: fsai_apply(plan, Gt, v) * 0.5 + v * 1e-9, x)
+    if H.ctx.coarse_T is not None:
+        T_c = H.ctx.coarse_T
+        bench("coarse_T mv+rmv", lambda v: T_c.mv(T_c.rmv(v)) * 0.5 + v * 1e-9, x)
+elif H.ctx is not None:
     pre = make_pcg_pre(H)
     dense_chos, diags, diag_top = pre
     ctx = H.ctx

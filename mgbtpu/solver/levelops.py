@@ -259,6 +259,9 @@ class PCGContext:
     n_levels: int
     dense_level: int
     fsai: object = None     # FSAIPlan of the solve level (see solver/fsai.py)
+    coarse_T: object = None  # BsrMatrix: dense-base level -> solve level
+                             # (composed transfer for the 2-level FSAI
+                             # coarse-grid correction, ops/bsr.py)
 
 
 @pytree_dataclass(static=())

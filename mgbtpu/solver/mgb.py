@@ -220,11 +220,21 @@ class ProblemKernels:
         fsai = build_fsai_plan(cols_host, base.n_J)
         _debug_timing(f"fsai_plan[{l}]", t0)
         t0 = time.time()
+        # composed transfer dense-base -> solve level for the 2-level
+        # coarse-grid correction, 128-block tiled (ops/bsr.py)
+        from ..ops.bsr import build_bsr
+
+        T_all = self.M.T_fine[chosen[0]]
+        for j in range(chosen[0] + 1, l):
+            T_all = self.M.T_fine[j] @ T_all
+        coarse_T = build_bsr(T_all.astype(self.dtype), self.dtype)
+        _debug_timing(f"coarse_T[{l}]", t0)
+        t0 = time.time()
         ctx = PCGContext(
             coarse_ops=tuple(self._plain_ops(j) for j in chosen),
             transfers=tuple(transfers),
             n_levels=len(chosen), dense_level=0,
-            fsai=fsai)
+            fsai=fsai, coarse_T=coarse_T)
         out = dataclasses.replace(base, pcg_ctx=ctx)
         _debug_timing(f"ctx_replace[{l}]", t0)
         self._ops_solve[l] = out

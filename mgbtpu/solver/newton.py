@@ -209,10 +209,18 @@ def _refresh_allowed(H):
 # MGBTPU_CHEB_DEG) or "jacobi" (one damped sweep, omega=0.7)
 SMOOTHER = _os.environ.get("MGBTPU_SMOOTHER", "cheby")
 CHEB_DEG = int(_os.environ.get("MGBTPU_CHEB_DEG", 3))
-# Large-level preconditioner: "fsai" (factorized sparse approximate
-# inverse on the level Gram Hessian, solver/fsai.py — measured 69 CG its
-# where the V-cycle took 319 and Jacobi 157 at L=6) or "vcycle"
-BIG_PRE = _os.environ.get("MGBTPU_BIG_PRE", "fsai")
+# Large-level preconditioner:
+#   "fsai2"  (default) — FSAI smoothing + coarse-grid correction through
+#            the Galerkin-coarse barrier Hessian (symmetric multiplicative
+#            two-level cycle): FSAI alone is purely local, so its CG counts
+#            grow with depth as the smooth modes return; the coarse solve
+#            restores level-independence (the BASELINE metric).
+#   "fsai2a" — additive variant (unconditionally SPD, ~2x the CG count of
+#            multiplicative, no fine matvecs in the apply)
+#   "fsai"   — plain FSAI (measured 69 CG its where the Chebyshev V-cycle
+#            took 319 and Jacobi 157 at L=6, t=100)
+#   "vcycle" — legacy Chebyshev/Jacobi-smoothed V-cycle
+BIG_PRE = _os.environ.get("MGBTPU_BIG_PRE", "fsai2")
 
 
 
@@ -415,10 +423,31 @@ def make_pcg_pre(H, smooth_omega=0.7):
 
     ops = H.ops
     ctx = H.ctx
-    if BIG_PRE == "fsai" and getattr(ctx, "fsai", None) is not None:
+    if BIG_PRE.startswith("fsai") and getattr(ctx, "fsai", None) is not None:
         from .fsai import fsai_values
 
-        return fsai_values(ctx.fsai, ops, H.Lnode)
+        Gtiles, dpos = fsai_values(ctx.fsai, ops, H.Lnode)
+        coarse = None
+        if BIG_PRE in ("fsai2", "fsai2a") and ctx.coarse_T is not None:
+            # coarse-grid correction data: dense Galerkin barrier Hessian at
+            # the V-cycle base level (Galerkin is exact here — the coarse
+            # panel ops assemble T' H T of the SAME per-node factors), with
+            # equilibrated shifted-Cholesky explicit inverse
+            Hc = ctx.coarse_ops[ctx.dense_level].assemble_gram(H.Lnode)
+            dtype = Hc.dtype
+            eps = float(_np.finfo(_np.dtype(dtype)).eps)
+            dc = jnp.sqrt(jnp.abs(jnp.diagonal(Hc)))
+            dinv_c = jnp.where(dc > 0, 1.0 / dc, 1.0)
+            Hs_c = Hc * (dinv_c[:, None] * dinv_c[None, :])
+            eye = jnp.eye(Hc.shape[0], dtype=dtype)
+            cf_a = cho_factor(Hs_c + jnp.asarray(2 * eps, dtype) * eye)
+            cf_b = cho_factor(Hs_c + jnp.asarray(32 * eps, dtype) * eye)
+            ok_a = jnp.all(jnp.isfinite(cf_a[0]))
+            cf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype")
+                else a, cf_a, cf_b)
+            coarse = (cho_solve(cf, eye), dinv_c)
+        return (Gtiles, dpos, coarse)
     Lnode = H.Lnode
     dtype = Lnode.dtype
     eps = float(_np.finfo(_np.dtype(dtype)).eps)
@@ -491,11 +520,12 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
 
     if pre is None:
         pre = make_pcg_pre(H, smooth_omega)
-    use_fsai = (BIG_PRE == "fsai" and getattr(ctx, "fsai", None) is not None)
+    use_fsai = (BIG_PRE.startswith("fsai")
+                and getattr(ctx, "fsai", None) is not None)
     if use_fsai:
         from .fsai import fsai_apply
 
-        G_vals, Gt_vals, dpos = pre
+        Gtiles, dpos, coarse = pre
     else:
         dense_chos, diags, diag_top = pre
 
@@ -575,8 +605,34 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
         return _ymv(ops, H.Ydd, u / dt) / dt
 
     if use_fsai:
-        def M_s(rs):
-            return fsai_apply(ctx.fsai, G_vals, Gt_vals, rs)
+        if coarse is None:
+            def M_s(rs):
+                return fsai_apply(ctx.fsai, Gtiles, rs)
+        else:
+            Minv_c, dinv_c = coarse
+            T_c = ctx.coarse_T
+
+            def mvs32(v):
+                # f32 equilibrated fine matvec (preconditioner-internal)
+                return gram_matvec(ops, Lnode, v / dt) / dt
+
+            def coarse_corr(rs):
+                # raw-space residual dpos*rs restricted through the
+                # composed transfer; Galerkin coarse solve; prolong back
+                # (see the M_s = D^-1 T Hc^-1 T' D^-1 identity in
+                # solver/fsai.py's module docstring context)
+                w = T_c.rmv(dt * rs)
+                zc = dinv_c * (Minv_c @ (dinv_c * w))
+                return dt * T_c.mv(zc)
+
+            if BIG_PRE == "fsai2a":
+                def M_s(rs):
+                    return fsai_apply(ctx.fsai, Gtiles, rs) + coarse_corr(rs)
+            else:
+                def M_s(rs):
+                    x1 = fsai_apply(ctx.fsai, Gtiles, rs)
+                    x2 = x1 + coarse_corr(rs - mvs32(x1))
+                    return x2 + fsai_apply(ctx.fsai, Gtiles, rs - mvs32(x2))
     else:
         def M_s(rs):
             return dt * M(dt * rs)
