@@ -37,6 +37,11 @@ R_RUNNING, R_TARGET, R_EARLY, R_NEED_HELP = range(4)
 
 HIST = 512  # per-chunk history capacity (and outer-step bound per call)
 
+# see easy_its in make_ramp
+import os as _os
+
+_EASY_BONUS = int(_os.environ.get("MGBTPU_KAPPA_EASY_BONUS", 1))
+
 
 def make_ramp(fns, *, line_search, dd, feas_block=None):
     """Build the jitted ramp kernel.
@@ -63,6 +68,12 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
         dtype = z.dtype
         n_J = ops.n_J
         x0 = jnp.zeros((n_J,), dtype)
+        # kappa-acceleration threshold. The reference accelerates when a
+        # step costs <= max_newton/2 its with a full multigrid sweep per
+        # step; this ramp centers at the fine level only, which runs ~1 it
+        # hotter per step, so the threshold gets a +1 — failures are cheap
+        # now (in-loop sqrt(kappa) retry, no host round trip)
+        easy_its = max_newton * 0.5 + _EASY_BONUS
 
         def wr(a, idx, pred, v):
             return a.at[idx].set(jnp.where(pred, v, a[idx]))
@@ -85,8 +96,13 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
             reach = t1 >= target
             z_fin, Dz0f, kits_tot, conv_all = zn, Dz0n, kits, conv
 
-            kap_n = jnp.where(kits_tot <= max_newton * 0.5,
+            kap_n = jnp.where(kits_tot <= easy_its,
                               jnp.minimum(kappa0, kappa * kappa), kappa)
+            # failed centering: retry IN the loop at kappa = sqrt(kappa)
+            # (reference ``src/mgb.jl:91-183``); exit to the host's level
+            # bisection only when kappa has collapsed to 1 (true stall)
+            kap_fail = jnp.sqrt(kappa)
+            stall = kap_fail <= 1.0 + 1e-9
 
             if feas_block is not None:
                 lo, hi = feas_block
@@ -102,7 +118,7 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
                 stop_early = jnp.asarray(False)
 
             status_n = jnp.where(
-                ~conv_all, R_NEED_HELP,
+                ~conv_all, jnp.where(stall, R_NEED_HELP, R_RUNNING),
                 jnp.where(stop_early, R_EARLY,
                           jnp.where(reach, R_TARGET, R_RUNNING))
             ).astype(jnp.int32)
@@ -123,7 +139,7 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
                 lambda p, q: jnp.where(conv_all, p, q), a, b)
             return (sel(z_fin, z), sel(zn, z_unf), sel(Dz0f, Dz0),
                     jnp.where(conv_all, t1, t),
-                    jnp.where(conv_all, kap_n, kappa), t_first_n,
+                    jnp.where(conv_all, kap_n, kap_fail), t_first_n,
                     k_att + 1, nrec_n, kits_tot,
                     h_its, h_ts, h_kap, h_cdz, h_cg, status_n)
 
