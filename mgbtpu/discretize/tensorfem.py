@@ -354,6 +354,29 @@ def _face_pos(ids, pi, pj, k):
     return ri + rj * (k + 1)
 
 
+def _first_occurrence_ids(keys: np.ndarray, base: int) -> np.ndarray:
+    """Sequential ids for key rows: each distinct row gets ``base + r`` where
+    r is the rank of its FIRST occurrence in row order — exactly the
+    numbering a sequential dict-registry pass would produce."""
+    _, first, inv = np.unique(keys, axis=0, return_index=True,
+                              return_inverse=True)
+    rank = np.empty(len(first), dtype=np.int64)
+    rank[np.argsort(first, kind="stable")] = np.arange(len(first))
+    return base + rank[inv.reshape(-1)]
+
+
+def _face_pos_vec(ids: np.ndarray, pi: int, pj: int, k: int) -> np.ndarray:
+    """Vectorized ``_face_pos``: ids is (E, 4) with g(i, j) = ids[:, i+2j]."""
+    b = np.argmin(ids, axis=1)
+    i0, j0 = b & 1, b >> 1
+    ri = np.where(i0 == 0, pi, k - pi)
+    rj = np.where(j0 == 0, pj, k - pj)
+    E = np.arange(len(ids))
+    swap = ids[E, (1 - i0) + 2 * j0] > ids[E, i0 + 2 * (1 - j0)]
+    ri, rj = np.where(swap, rj, ri), np.where(swap, ri, rj)
+    return ri + rj * (k + 1)
+
+
 def tensor_dofmap(t_corner: np.ndarray, k: int, d: int) -> np.ndarray:
     """Full-node connectivity from corner connectivity alone (no coordinates).
 
@@ -361,6 +384,12 @@ def tensor_dofmap(t_corner: np.ndarray, k: int, d: int) -> np.ndarray:
     manifolds). Corner ids carry through; shared edges oriented by endpoint
     ids, shared faces canonicalized by the 8 quad symmetries; cell-interior
     nodes fresh. 0-based ids.
+
+    Vectorized over the element axis (the reference's equivalent pass is
+    compiled Julia, ``src/TensorFEM.jl:338-383``): per local node the
+    entity's corner-gather indices are fixed, so each of the (k+1)^d local
+    nodes costs O(N) numpy work, and the sequential shared-entity numbering
+    is reproduced by first-occurrence ranking over the encoded entity keys.
     """
     t_corner = np.asarray(t_corner, dtype=np.int64)
     s = k + 1
@@ -371,41 +400,59 @@ def tensor_dofmap(t_corner: np.ndarray, k: int, d: int) -> np.ndarray:
     N = t_corner.shape[1]
     ref = tf_reference(d, k)
     mi_all = ref.mi
-    t = np.empty((n, N), dtype=np.int64)
     next_id = int(t_corner.max()) + 1 if t_corner.size else 0
-    reg: dict = {}
-    for e in range(N):
-        cor = t_corner[:, e]
-        for v in range(n):
-            mi = mi_all[v]
-            inter = [a for a in range(d) if 0 < mi[a] < s - 1]
-            nint = len(inter)
-            if nint == d:
-                t[v, e] = next_id
-                next_id += 1
-                continue
-            ids = _entity_corner_ids(cor, mi, inter, s, d)
-            if nint == 0:
-                t[v, e] = ids[0]
-                continue
-            if nint == 1:
-                p = mi[inter[0]]                        # 1..k-1 from the low end
-                pos = p if ids[0] <= ids[1] else k - p
-                key = (tuple(sorted((ids[0], ids[1]))), pos)
-            elif nint == 2:
-                pos = _face_pos(ids, mi[inter[0]], mi[inter[1]], k)
-                key = (tuple(sorted(ids)), pos)
-            else:
-                raise ValueError(
-                    "tensor_dofmap: interior grids on shared entities of "
-                    "dimension >= 3 are not supported")
-            if key in reg:
-                t[v, e] = reg[key]
-            else:
-                reg[key] = next_id
-                t[v, e] = next_id
-                next_id += 1
-    return t
+
+    # keys[e, v] encodes the shared-entity identity of local node v in
+    # element e: (sorted entity corner ids..., pos); cell-interior nodes get
+    # the unique key (e, v) so they always mint a fresh id. t_flat holds
+    # resolved corner ids; key_mask marks rows that go through the registry.
+    KW = 5  # 4 sorted ids + pos (edge keys pad with -1)
+    keys = np.zeros((N, n, KW), dtype=np.int64)
+    t_out = np.zeros((n, N), dtype=np.int64)
+    key_mask = np.zeros(n, dtype=bool)
+    for v in range(n):
+        mi = mi_all[v]
+        inter = [a for a in range(d) if 0 < mi[a] < s - 1]
+        nint = len(inter)
+        if nint == d:
+            keys[:, v, 0] = np.arange(N)
+            keys[:, v, 1] = v
+            keys[:, v, 2:] = -2          # distinct from every entity key
+            key_mask[v] = True
+            continue
+        gidx = []
+        for combo in range(1 << nint):
+            cbits = 0
+            for a in range(d):
+                if a in inter:
+                    bit = (combo >> inter.index(a)) & 1
+                else:
+                    bit = 1 if mi[a] == s - 1 else 0
+                cbits |= bit << a
+            gidx.append(cbits)
+        ids = t_corner[gidx, :].T                     # (N, 2^nint)
+        if nint == 0:
+            t_out[v] = ids[:, 0]
+            continue
+        if nint == 1:
+            p = int(mi[inter[0]])
+            pos = np.where(ids[:, 0] <= ids[:, 1], p, k - p)
+            keys[:, v, :2] = np.sort(ids, axis=1)
+            keys[:, v, 2:4] = -1
+        elif nint == 2:
+            pos = _face_pos_vec(ids, int(mi[inter[0]]), int(mi[inter[1]]), k)
+            keys[:, v, :4] = np.sort(ids, axis=1)
+        else:
+            raise ValueError(
+                "tensor_dofmap: interior grids on shared entities of "
+                "dimension >= 3 are not supported")
+        keys[:, v, 4] = pos
+        key_mask[v] = True
+    if key_mask.any():
+        sel = keys[:, key_mask, :].reshape(-1, KW)    # (e-major, v-minor)
+        ids_new = _first_occurrence_ids(sel, next_id)
+        t_out[key_mask, :] = ids_new.reshape(N, -1).T
+    return t_out
 
 
 # ---------------------------------------------------------------------------
@@ -439,36 +486,48 @@ def refine_local(k: int, d: int) -> np.ndarray:
 def refine_connectivity(t: np.ndarray, k: int, d: int) -> np.ndarray:
     """Topological 2^d-subdivision of the corner/element structure; children
     get corner ids keyed by parent entities, then ``tensor_dofmap`` numbers
-    every child Q_k node."""
+    every child Q_k node.
+
+    Vectorized over elements like ``tensor_dofmap``: the (child, corner)
+    pair fixes the parent-entity gather indices, so the loop runs over the
+    4^d local pairs with O(N) numpy work each, and the shared counter over
+    corner/entity/cell keys is reproduced by first-occurrence ranking."""
     s = k + 1
     nc = 1 << d
     N = t.shape[1]
     cornerlocal = [corner_local(c, s, d) for c in range(nc)]
-    child_corners = np.empty((nc, nc * N), dtype=np.int64)
-    vids: dict = {}
-    next_id = 0
-
-    def get_id(key):
-        nonlocal next_id
-        if key in vids:
-            return vids[key]
-        vids[key] = next_id
-        next_id += 1
-        return vids[key]
-
-    for e in range(N):
-        parent = [int(t[cornerlocal[c], e]) for c in range(nc)]
-        for ch in range(nc):
-            for c in range(nc):
-                # position in the parent's 3-point grid: 0=low, 1=centre, 2=high
-                mi = tuple((((ch >> a) & 1) + ((c >> a) & 1)) for a in range(d))
-                inter = [a for a in range(d) if mi[a] == 1]
-                ent = _entity_corner_ids(parent, mi, inter, 3, d)
-                if not inter:
-                    key = ("corner", ent[0])
-                elif len(inter) == d:
-                    key = ("cell", e)
-                else:
-                    key = ("ent", len(inter), tuple(sorted(ent)))
-                child_corners[c, e * nc + ch] = get_id(key)
+    P = np.asarray(t, dtype=np.int64)[cornerlocal, :]      # (nc, N) parents
+    # key layout: (tag, sorted entity ids... or (e,)), padded with -1
+    KW = 1 + max(nc // 2, 2)
+    keys = np.zeros((N, nc, nc, KW), dtype=np.int64)
+    for ch in range(nc):
+        for c in range(nc):
+            # position in the parent's 3-point grid: 0=low, 1=centre, 2=high
+            mi = tuple((((ch >> a) & 1) + ((c >> a) & 1)) for a in range(d))
+            inter = [a for a in range(d) if mi[a] == 1]
+            nint = len(inter)
+            gidx = []
+            for combo in range(1 << nint):
+                cbits = 0
+                for a in range(d):
+                    if a in inter:
+                        bit = (combo >> inter.index(a)) & 1
+                    else:
+                        bit = 1 if mi[a] == 2 else 0
+                    cbits |= bit << a
+                gidx.append(cbits)
+            ent = P[gidx, :].T                             # (N, 2^nint)
+            kb = keys[:, ch, c, :]
+            kb[:, 1:] = -1
+            if nint == 0:
+                kb[:, 0] = 0
+                kb[:, 1] = ent[:, 0]
+            elif nint == d:
+                kb[:, 0] = 1
+                kb[:, 1] = np.arange(N)
+            else:
+                kb[:, 0] = 2 + nint
+                kb[:, 1:1 + ent.shape[1]] = np.sort(ent, axis=1)
+    ids = _first_occurrence_ids(keys.reshape(-1, KW), 0)   # (e, ch, c) order
+    child_corners = ids.reshape(N * nc, nc).T              # [c, e*nc + ch]
     return tensor_dofmap(child_corners, k, d)

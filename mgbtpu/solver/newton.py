@@ -210,17 +210,19 @@ def _refresh_allowed(H):
 SMOOTHER = _os.environ.get("MGBTPU_SMOOTHER", "cheby")
 CHEB_DEG = int(_os.environ.get("MGBTPU_CHEB_DEG", 3))
 # Large-level preconditioner:
-#   "fsai2"  (default) — FSAI smoothing + coarse-grid correction through
-#            the Galerkin-coarse barrier Hessian (symmetric multiplicative
-#            two-level cycle): FSAI alone is purely local, so its CG counts
-#            grow with depth as the smooth modes return; the coarse solve
-#            restores level-independence (the BASELINE metric).
-#   "fsai2a" — additive variant (unconditionally SPD, ~2x the CG count of
-#            multiplicative, no fine matvecs in the apply)
-#   "fsai"   — plain FSAI (measured 69 CG its where the Chebyshev V-cycle
-#            took 319 and Jacobi 157 at L=6, t=100)
-#   "vcycle" — legacy Chebyshev/Jacobi-smoothed V-cycle
-BIG_PRE = _os.environ.get("MGBTPU_BIG_PRE", "fsai2")
+#   "vcycle" (default) — Chebyshev-smoothed V-cycle over the barrier-Hessian
+#            hierarchy with dense Cholesky base. With the corrected
+#            lambda_max estimator (see smooth_data) the cycle contracts
+#            level-independently: measured |E|=0.24 and 8 CG its at L=6
+#            where the old estimator diverged (|E|=3.66, ~600 its) — the
+#            earlier "V-cycle took 319 CG its at L=6" reading that
+#            motivated FSAI was this estimator bug, not the cycle.
+#   "fsai2"  — FSAI smoothing + two-level Galerkin coarse correction;
+#            diverges at L>=6 (|E|~5e2): one coarse level is too far from
+#            the fine grid once an intermediate level exists.
+#   "fsai2a" — additive variant of fsai2
+#   "fsai"   — plain FSAI (purely local, CG counts grow with depth)
+BIG_PRE = _os.environ.get("MGBTPU_BIG_PRE", "vcycle")
 
 
 
@@ -468,16 +470,24 @@ def make_pcg_pre(H, smooth_omega=0.7):
     from .levelops import gram_matvec as _gmv
 
     def smooth_data(o):
-        # diagonal + lambda_max(D^-1 H) estimate (power iteration) for the
-        # Chebyshev smoother; deterministic start vector
+        # diagonal + lambda_max(D^-1 H) estimate for the Chebyshev smoother.
+        # Estimated on the symmetrized S = D^-1/2 H D^-1/2 (same spectrum as
+        # D^-1 H) by power iteration from a fixed Rademacher vector: the old
+        # smooth ones-vector start was nearly orthogonal to the (high-
+        # frequency) top eigenvector, so 8 steps *under*-estimated lambda_max
+        # at L>=6 and the Chebyshev polynomial amplified above-band modes,
+        # diverging the V-cycle (measured |E| = 3.66 at L=6). Norm-ratio
+        # estimate (>= Rayleigh quotient) + 1.15 safety keeps the band a
+        # guaranteed cover; overestimating only mildly weakens smoothing.
         d = gram_diag(o, Lnode)
-        dinv = jnp.where(d > 0, 1.0 / d, 0.0)
-        v = jnp.ones((o.n_J,), dtype)
-        for _ in range(8):
-            v = dinv * _gmv(o, Lnode, v)
+        dis = jnp.where(d > 0, jax.lax.rsqrt(d), 0.0)
+        v = jax.random.rademacher(
+            jax.random.PRNGKey(1905), (o.n_J,), dtype)
+        for _ in range(14):
+            v = dis * _gmv(o, Lnode, dis * v)
             v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
-        lmax = jnp.vdot(v, dinv * _gmv(o, Lnode, v)) /             jnp.maximum(jnp.vdot(v, v), 1e-30)
-        return (d, jnp.abs(lmax) * 1.05)
+        lmax = jnp.linalg.norm(dis * _gmv(o, Lnode, dis * v))
+        return (d, lmax * 1.15)
 
     diags = {}
     for l in range(ctx.dense_level + 1, ctx.n_levels):
