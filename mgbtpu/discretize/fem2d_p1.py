@@ -165,28 +165,26 @@ def amg_p1(geom: Geometry, prolongator, dirichlet_nodes, auxiliary_postprocess):
 
 
 def refine_p1_connectivity(t: np.ndarray) -> np.ndarray:
-    """Topological 4-way red refinement of corner connectivity (3, N)."""
+    """Topological 4-way red refinement of corner connectivity (3, N).
+
+    Vectorized over elements: midpoint ids come from first-occurrence
+    ranking of the sorted edge keys in the (element-major, ab/bc/ca-minor)
+    order the sequential registry pass would mint them."""
+    from .tensorfem import _first_occurrence_ids
+
+    t = np.asarray(t, dtype=np.int64)
     N = t.shape[1]
+    a, b, c = t[0], t[1], t[2]
+    pairs = np.stack([np.stack([a, b], 1), np.stack([b, c], 1),
+                      np.stack([c, a], 1)], axis=1).reshape(-1, 2)
+    keys = np.sort(pairs, axis=1)
+    mids = _first_occurrence_ids(keys, int(t.max()) + 1).reshape(N, 3)
+    ab, bc, ca = mids[:, 0], mids[:, 1], mids[:, 2]
     out = np.empty((3, 4 * N), dtype=np.int64)
-    edge: dict = {}
-    next_id = int(t.max()) + 1
-
-    def mid(u, v):
-        nonlocal next_id
-        key = (min(u, v), max(u, v))
-        if key not in edge:
-            edge[key] = next_id
-            next_id += 1
-        return edge[key]
-
-    for e in range(N):
-        a, b, c = (int(t[v, e]) for v in range(3))
-        ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
-        j = 4 * e
-        out[:, j] = (a, ab, ca)
-        out[:, j + 1] = (ab, b, bc)
-        out[:, j + 2] = (ca, bc, c)
-        out[:, j + 3] = (ab, bc, ca)
+    out[0, 0::4], out[1, 0::4], out[2, 0::4] = a, ab, ca
+    out[0, 1::4], out[1, 1::4], out[2, 1::4] = ab, b, bc
+    out[0, 2::4], out[1, 2::4], out[2, 2::4] = ca, bc, c
+    out[0, 3::4], out[1, 3::4], out[2, 3::4] = ab, bc, ca
     return out
 
 

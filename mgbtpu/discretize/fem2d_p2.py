@@ -317,33 +317,47 @@ def amg_p2(geom: Geometry, prolongator, dirichlet_nodes):
 
 def refine_p2_connectivity(t: np.ndarray) -> np.ndarray:
     """Refine full P2(+bubble) connectivity in the 4-child order of the
-    reference element's refine table; bubbles stay element-local."""
-    V, N = t.shape
-    out = np.empty((V, 4 * N), dtype=np.int64)
-    node_ids: dict = {}
-    for e in range(N):
-        for v in range(6):
-            node_ids.setdefault(int(t[v, e]), len(node_ids))
-    edge: dict = {}
-    next_id = len(node_ids)
+    reference element's refine table; bubbles stay element-local.
 
-    for e in range(N):
-        a, ab, b, bc, c, ca = (node_ids[int(t[v, e])] for v in range(6))
-        children = ((ca, a, ab), (ab, b, bc), (bc, c, ca), (ab, bc, ca))
-        for s, corners in enumerate(children):
-            j = 4 * e + s
-            out[0, j], out[2, j], out[4, j] = corners
-            for slot, (u, v) in ((1, (corners[0], corners[1])),
-                                 (3, (corners[1], corners[2])),
-                                 (5, (corners[2], corners[0]))):
-                key = (min(u, v), max(u, v))
-                if key not in edge:
-                    edge[key] = next_id
-                    next_id += 1
-                out[slot, j] = edge[key]
-            if V == 7:
-                out[6, j] = next_id
-                next_id += 1
+    Vectorized over elements. Parent non-bubble ids are first compacted by
+    first occurrence in (element-major, node-minor) order, then the child
+    edge midpoints (and bubbles, which interleave with them in the
+    sequential minting order) get first-occurrence ranks over the combined
+    per-child key rows — reproducing the registry numbering exactly."""
+    from .tensorfem import _first_occurrence_ids
+
+    t = np.asarray(t, dtype=np.int64)
+    V, N = t.shape
+    lab = t[:6].T.reshape(-1)
+    na = _first_occurrence_ids(lab[:, None], 0).reshape(N, 6)
+    n0 = int(na.max()) + 1 if na.size else 0
+    a, ab, b, bc, c, ca = (na[:, v] for v in range(6))
+    # children[s] corner triples (c0, c1, c2), each (N,)
+    children = np.stack([np.stack(tri, axis=1) for tri in
+                         ((ca, a, ab), (ab, b, bc), (bc, c, ca),
+                          (ab, bc, ca))], axis=1)        # (N, 4, 3)
+    # per child: 3 edge keys (sorted endpoint pairs) + optional bubble key,
+    # laid out in the sequential minting order (e-major, child, slot)
+    c0, c1, c2 = children[..., 0], children[..., 1], children[..., 2]
+    epairs = np.stack([np.stack([c0, c1], -1), np.stack([c1, c2], -1),
+                       np.stack([c2, c0], -1)], axis=2)  # (N, 4, 3, 2)
+    ekeys = np.sort(epairs, axis=-1)
+    slots = 4 if V == 7 else 3
+    keys = np.empty((N, 4, slots, 2), dtype=np.int64)
+    keys[:, :, :3, :] = ekeys
+    if V == 7:
+        # bubbles are element-local: a unique negative key per (e, child)
+        eidx = np.arange(N)[:, None] * 4 + np.arange(4)[None, :]
+        keys[:, :, 3, 0] = -1 - eidx
+        keys[:, :, 3, 1] = -1
+    ids = _first_occurrence_ids(keys.reshape(-1, 2), n0).reshape(N, 4, slots)
+    out = np.empty((V, 4 * N), dtype=np.int64)
+    for s in range(4):
+        out[0, s::4], out[2, s::4], out[4, s::4] = c0[:, s], c1[:, s], c2[:, s]
+        out[1, s::4], out[3, s::4], out[5, s::4] = (
+            ids[:, s, 0], ids[:, s, 1], ids[:, s, 2])
+        if V == 7:
+            out[6, s::4] = ids[:, s, 3]
     return out
 
 

@@ -357,12 +357,29 @@ def _face_pos(ids, pi, pj, k):
 def _first_occurrence_ids(keys: np.ndarray, base: int) -> np.ndarray:
     """Sequential ids for key rows: each distinct row gets ``base + r`` where
     r is the rank of its FIRST occurrence in row order — exactly the
-    numbering a sequential dict-registry pass would produce."""
-    _, first, inv = np.unique(keys, axis=0, return_index=True,
-                              return_inverse=True)
-    rank = np.empty(len(first), dtype=np.int64)
-    rank[np.argsort(first, kind="stable")] = np.arange(len(first))
-    return base + rank[inv.reshape(-1)]
+    numbering a sequential dict-registry pass would produce.
+
+    lexsort-based (np.unique(axis=0)'s void-view row sort is ~10x slower):
+    lexsort is stable, so within each equal-row group the original indices
+    ascend, and the group's first sorted element carries its minimal (first-
+    occurrence) row index."""
+    M = len(keys)
+    if M == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort(keys.T[::-1])
+    sk = keys[order]
+    new = np.empty(M, dtype=bool)
+    new[0] = True
+    np.any(sk[1:] != sk[:-1], axis=1, out=new[1:])
+    gid_sorted = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    first_idx = order[starts]                  # first-occurrence row per group
+    rank = np.empty(len(starts), dtype=np.int64)
+    rank[np.argsort(first_idx, kind="stable")] = np.arange(len(starts))
+    ids_sorted = rank[gid_sorted]
+    ids = np.empty(M, dtype=np.int64)
+    ids[order] = ids_sorted
+    return base + ids
 
 
 def _face_pos_vec(ids: np.ndarray, pi: int, pj: int, k: int) -> np.ndarray:
