@@ -16,9 +16,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import ddarray
-from ..ops.ddarray import cat, outer
+from ..ops.ddarray import cat
 from ..utils.log import Log, safe_pow
-from ._common import resolve_x, sample_grid, scatter_vec, scatter_mat, gather
+from ._common import (resolve_x, sample_grid, comp, ssum, svec, smat,
+                      mat_scalars, vec_scalars, scatter_svec, scatter_smat)
 from .convex import Convex, input_spec_from_idx
 
 
@@ -30,11 +31,16 @@ def _mu_of_p(p):
 
 
 def _core_parts(A_row, b_row, idx, y):
+    """Per-node affine image z = A y[idx] + b in scalar-list form: ``A``
+    nested scalars, ``q`` a list of nz-1 scalars, ``s`` a scalar. The
+    scalar-list algebra (see convex/_common.py) is what lets the whole
+    node evaluation live inside one Pallas kernel."""
     nz = b_row.shape[0]
-    Ax = A_row.reshape(nz, nz)
-    yi = gather(idx, y)
-    z = Ax @ yi + b_row
-    return Ax, z[:-1], z[-1]
+    A = mat_scalars(A_row, nz, nz)
+    ys = vec_scalars(y, n=nz, idx=idx)
+    z = [ssum([A[i][j] * ys[j] for j in range(nz)]) + comp(b_row, i)
+         for i in range(nz)]
+    return A, z[:-1], z[-1]
 
 
 def _pow_alpha(s, alpha, spec):
@@ -55,25 +61,29 @@ def _pow_alpha(s, alpha, spec):
 
 
 def _core_grad(q, s, p0, mu, spec=None):
-    """Gradient of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:387-397.
+    """Gradient of the barrier wrt (q, s), scalar-list form (q a list, s a
+    scalar; returns list of nz scalars). Reference
+    src/convex_euclidian_power.jl:387-397.
 
     Only one transcendental power is evaluated: s^(alpha-1) = s^alpha / s
     (exact division is far cheaper than a second exp/log chain, which matters
     for the double-float path where each safe_pow is a ~dd_log+dd_exp chain).
     """
     alpha = 2.0 / p0
-    q_sq = q @ q
+    q_sq = ssum([qi * qi for qi in q])
     s_a = _pow_alpha(s, alpha, spec)
     r = s_a - q_sq
     inv_r = 1.0 / r
-    grad_q = (2.0 * inv_r) * q
+    two_ir = 2.0 * inv_r
+    grad_q = [two_ir * qi for qi in q]
     s_am1 = s_a / s
     grad_s = -alpha * s_am1 * inv_r - mu / s
-    return cat([grad_q, grad_s[None]])
+    return grad_q + [grad_s]
 
 
 def _core_hess(q, s, p0, mu, spec=None):
-    """Hessian of the barrier wrt (q, s). Reference src/convex_euclidian_power.jl:400-433.
+    """Hessian of the barrier wrt (q, s), scalar-list form (nested list of
+    nz x nz scalars). Reference src/convex_euclidian_power.jl:400-433.
 
     The power ladder comes from one safe_pow by exact division, and the
     Hessian is built from the FACTORED quantities u = q/r, v = s^(a-1)/r
@@ -84,21 +94,26 @@ def _core_hess(q, s, p0, mu, spec=None):
     products NaN out, while every factored intermediate stays ~1e18.
     """
     alpha = 2.0 / p0
-    q_sq = q @ q
+    q_sq = ssum([qi * qi for qi in q])
     s_a = _pow_alpha(s, alpha, spec)
     r = s_a - q_sq
     inv_r = 1.0 / r
     s_am1 = s_a / s
     s_am2 = s_am1 / s
-    u = inv_r * q
+    u = [inv_r * qi for qi in q]
     v = s_am1 * inv_r
     H_ss = (-alpha * (alpha - 1.0) * s_am2 * inv_r
             + (alpha * alpha) * (v * v) + (mu / s) / s)
-    Hqq = 4.0 * outer(u, u) + 2.0 * inv_r * jnp.eye(q.shape[0], dtype=q.dtype)
-    cross = (-2.0 * alpha * v) * u
-    top = cat([Hqq, cross[:, None]], axis=1)
-    bot = cat([cross, H_ss[None]])[None, :]
-    return cat([top, bot], axis=0)
+    two_ir = 2.0 * inv_r
+    n = len(q)
+    cross = [(-2.0 * alpha * v) * ui for ui in u]
+    rows = []
+    for i in range(n):
+        row = [4.0 * u[i] * u[j] + two_ir if i == j else 4.0 * u[i] * u[j]
+               for j in range(n)]
+        rows.append(row + [cross[i]])
+    rows.append(cross + [H_ss])
+    return rows
 
 
 def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
@@ -192,64 +207,79 @@ def convex_euclidian_power(mg=None, *, idx=None, A=None, b=None, p=2.0,
             return ddarray.DD(p_val)
         return p_val
 
+    def _AtHA(A, Hz):
+        """A^T Hz A in nested-scalar form (nz is tiny and static)."""
+        nz_ = len(A)
+        return [[ssum([A[k][i] * Hz[k][l] * A[l][j]
+                       for k in range(nz_) for l in range(nz_)])
+                 for j in range(nz_)] for i in range(nz_)]
+
     def F0(A_row, b_row, p_val, mu_val, y):
         _, q, s = _core_parts(A_row, b_row, idx_t, y)
         alpha = 2.0 / _pp(p_val, y)
-        return -Log(_pow_alpha(s, alpha, spec_alpha) - q @ q) \
+        q_sq = ssum([qi * qi for qi in q])
+        return -Log(_pow_alpha(s, alpha, spec_alpha) - q_sq) \
             - mu_val * Log(s)
 
     def F1(A_row, b_row, p_val, mu_val, y):
-        Ax, q, s = _core_parts(A_row, b_row, idx_t, y)
-        g = Ax.T @ _core_grad(q, s, _pp(p_val, y), mu_val, spec=spec_alpha)
-        return scatter_vec(idx_t, g, y.shape[0])
+        A, q, s = _core_parts(A_row, b_row, idx_t, y)
+        gz = _core_grad(q, s, _pp(p_val, y), mu_val, spec=spec_alpha)
+        nz_ = len(A)
+        g = [ssum([A[k][i] * gz[k] for k in range(nz_)])
+             for i in range(nz_)]
+        return scatter_svec(idx_t, g, y.shape[0])
 
     def F2(A_row, b_row, p_val, mu_val, y):
-        Ax, q, s = _core_parts(A_row, b_row, idx_t, y)
-        H = Ax.T @ _core_hess(q, s, _pp(p_val, y), mu_val,
-                              spec=spec_alpha) @ Ax
-        return scatter_mat(idx_t, H, y.shape[0])
+        A, q, s = _core_parts(A_row, b_row, idx_t, y)
+        Hz = _core_hess(q, s, _pp(p_val, y), mu_val, spec=spec_alpha)
+        return scatter_smat(idx_t, _AtHA(A, Hz), y.shape[0])
 
     # cobarrier: y carries an appended slack; s_eff = s + slack
     def _co_parts(A_row, b_row, yhat):
-        y = yhat[:-1]
-        slack = yhat[-1]
-        nz_ = b_row.shape[0]
-        Ax = A_row.reshape(nz_, nz_)
-        yi = gather(idx_t, y)
-        z = Ax @ yi + b_row
-        return Ax, z[:-1], z[-1] + slack
+        A, q, s = _core_parts(A_row, b_row, idx_t, yhat)
+        return A, q, s + comp(yhat, -1)
 
     def C0(A_row, b_row, p_val, mu_val, yhat):
         _, q, s = _co_parts(A_row, b_row, yhat)
         alpha = 2.0 / _pp(p_val, yhat)
-        return -Log(_pow_alpha(s, alpha, spec_alpha) - q @ q) \
+        q_sq = ssum([qi * qi for qi in q])
+        return -Log(_pow_alpha(s, alpha, spec_alpha) - q_sq) \
             - mu_val * Log(s)
 
     def C1(A_row, b_row, p_val, mu_val, yhat):
-        Ax, q, s = _co_parts(A_row, b_row, yhat)
+        A, q, s = _co_parts(A_row, b_row, yhat)
         gz = _core_grad(q, s, _pp(p_val, yhat), mu_val, spec=spec_alpha)
-        g = Ax.T @ gz
-        N1 = yhat.shape[0]
-        out = scatter_vec(idx_t, g, N1 - 1)
+        nz_ = len(A)
+        g = [ssum([A[k][i] * gz[k] for k in range(nz_)])
+             for i in range(nz_)]
+        out = scatter_svec(idx_t, g, yhat.shape[0] - 1)
         return cat([out, gz[-1][None]])
 
     def C2(A_row, b_row, p_val, mu_val, yhat):
-        Ax, q, s = _co_parts(A_row, b_row, yhat)
+        A, q, s = _co_parts(A_row, b_row, yhat)
         Hz = _core_hess(q, s, _pp(p_val, yhat), mu_val, spec=spec_alpha)
-        H = Ax.T @ Hz @ Ax
-        cross = Ax.T @ Hz[:, -1]
+        H = _AtHA(A, Hz)
+        nz_ = len(A)
+        # cross = A^T Hz[:, -1] (the slack couples through s only)
+        cross = [ssum([A[k][i] * Hz[k][nz_ - 1] for k in range(nz_)])
+                 for i in range(nz_)]
         N1 = yhat.shape[0]
-        out = ddarray.zeros((N1, N1), like=yhat)
-        ii = np.arange(N1 - 1) if idx_t is None else np.asarray(idx_t, dtype=np.int32)
-        out = out.at[np.ix_(ii, ii)].set(H)
-        out = out.at[ii, N1 - 1].set(cross)
-        out = out.at[N1 - 1, ii].set(cross)
-        out = out.at[N1 - 1, N1 - 1].set(Hz[-1, -1])
-        return out
+        ii = tuple(range(N1 - 1)) if idx_t is None else idx_t
+        pos = {int(j): k for k, j in enumerate(ii)}
+        zero = ddarray.zeros((), like=Hz[0][0])
+        rows = []
+        for i in range(N1 - 1):
+            row = [H[pos[i]][pos[j]] if i in pos and j in pos else zero
+                   for j in range(N1 - 1)]
+            row.append(cross[pos[i]] if i in pos else zero)
+            rows.append(row)
+        rows.append([cross[pos[j]] if j in pos else zero
+                     for j in range(N1 - 1)] + [Hz[nz_ - 1][nz_ - 1]])
+        return smat(rows)
 
     def Slack(A_row, b_row, p_val, mu_val, y):
         _, q, s = _core_parts(A_row, b_row, idx_t, y)
-        q_sq = q @ q
+        q_sq = ssum([qi * qi for qi in q])
         return -jnp.minimum(s - safe_pow(q_sq, p_val / 2.0), s)
 
     return Convex(

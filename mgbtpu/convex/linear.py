@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from ..ops import ddarray
 from ..ops.ddarray import cat
 from ..utils.log import Log
-from ._common import resolve_x, sample_grid, scatter_vec, scatter_mat, gather
+from ._common import (resolve_x, sample_grid, comp, ssum, svec, smat,
+                      mat_scalars, vec_scalars, scatter_svec, scatter_smat)
 from .convex import Convex, input_spec_from_idx
 
 
@@ -72,53 +73,74 @@ def convex_linear(mg=None, *, idx=None, A=None, b=None,
     spec = input_spec_from_idx(idx_t, ni)
 
     def _parts(A_row, b_row, y):
-        Ax = A_row.reshape(nc, ni)
-        yi = gather(idx_t, y)
-        return Ax, Ax @ yi + b_row
+        """Scalar-list form (see convex/_common.py): A nested scalars,
+        F a list of nc scalars — Mosaic-lowerable inside Pallas kernels."""
+        A = mat_scalars(A_row, nc, ni)
+        ys = vec_scalars(y, n=ni, idx=idx_t)
+        F = [ssum([A[i][j] * ys[j] for j in range(ni)]) + comp(b_row, i)
+             for i in range(nc)]
+        return A, F
 
     def F0(A_row, b_row, y):
         _, F = _parts(A_row, b_row, y)
-        return -(Log(F).sum())
+        return -ssum([Log(Fi) for Fi in F])
 
     def F1(A_row, b_row, y):
-        Ax, F = _parts(A_row, b_row, y)
-        g = -(Ax.T @ (1.0 / F))
-        return scatter_vec(idx_t, g, y.shape[0])
+        A, F = _parts(A_row, b_row, y)
+        invF = [1.0 / Fi for Fi in F]
+        g = [-ssum([A[k][i] * invF[k] for k in range(nc)])
+             for i in range(ni)]
+        return scatter_svec(idx_t, g, y.shape[0])
 
     def F2(A_row, b_row, y):
-        Ax, F = _parts(A_row, b_row, y)
-        H = Ax.T @ (Ax / (F * F)[:, None])
-        return scatter_mat(idx_t, H, y.shape[0])
+        A, F = _parts(A_row, b_row, y)
+        iF2 = [1.0 / (Fi * Fi) for Fi in F]
+        H = [[ssum([A[k][i] * A[k][j] * iF2[k] for k in range(nc)])
+              for j in range(ni)] for i in range(ni)]
+        return scatter_smat(idx_t, H, y.shape[0])
 
     def C0(A_row, b_row, yhat):
-        Ax, F = _parts(A_row, b_row, yhat[:-1])
-        return -(Log(F + yhat[-1]).sum())
+        _, F = _parts(A_row, b_row, yhat)
+        slack = comp(yhat, -1)
+        return -ssum([Log(Fi + slack) for Fi in F])
 
     def C1(A_row, b_row, yhat):
-        Ax, F = _parts(A_row, b_row, yhat[:-1])
-        invF = 1.0 / (F + yhat[-1])
-        g = -(Ax.T @ invF)
-        out = scatter_vec(idx_t, g, yhat.shape[0] - 1)
-        return cat([out, (-(invF.sum()))[None]])
+        A, F = _parts(A_row, b_row, yhat)
+        slack = comp(yhat, -1)
+        invF = [1.0 / (Fi + slack) for Fi in F]
+        g = [-ssum([A[k][i] * invF[k] for k in range(nc)])
+             for i in range(ni)]
+        out = scatter_svec(idx_t, g, yhat.shape[0] - 1)
+        return cat([out, (-ssum(invF))[None]])
 
     def C2(A_row, b_row, yhat):
-        Ax, F = _parts(A_row, b_row, yhat[:-1])
-        inv = 1.0 / (F + yhat[-1])
-        invF2 = inv * inv
-        H = Ax.T @ (Ax * invF2[:, None])
-        cross = Ax.T @ invF2
+        A, F = _parts(A_row, b_row, yhat)
+        slack = comp(yhat, -1)
+        inv = [1.0 / (Fi + slack) for Fi in F]
+        iF2 = [vi * vi for vi in inv]
+        H = [[ssum([A[k][i] * A[k][j] * iF2[k] for k in range(nc)])
+              for j in range(ni)] for i in range(ni)]
+        cross = [ssum([A[k][i] * iF2[k] for k in range(nc)])
+                 for i in range(ni)]
         N1 = yhat.shape[0]
-        out = ddarray.zeros((N1, N1), like=yhat)
-        ii = np.arange(N1 - 1) if idx_t is None else np.asarray(idx_t, dtype=np.int32)
-        out = out.at[np.ix_(ii, ii)].set(H)
-        out = out.at[ii, N1 - 1].set(cross)
-        out = out.at[N1 - 1, ii].set(cross)
-        out = out.at[N1 - 1, N1 - 1].set(invF2.sum())
-        return out
+        ii = tuple(range(N1 - 1)) if idx_t is None else idx_t
+        pos = {int(j): k for k, j in enumerate(ii)}
+        zero = ddarray.zeros((), like=iF2[0])
+        rows = []
+        for i in range(N1 - 1):
+            row = [H[pos[i]][pos[j]] if i in pos and j in pos else zero
+                   for j in range(N1 - 1)]
+            row.append(cross[pos[i]] if i in pos else zero)
+            rows.append(row)
+        rows.append([cross[pos[j]] if j in pos else zero
+                     for j in range(N1 - 1)] + [ssum(iF2)])
+        return smat(rows)
 
     def Slack(A_row, b_row, y):
         _, F = _parts(A_row, b_row, y)
-        return -jnp.min(F)
+        import functools
+
+        return -functools.reduce(jnp.minimum, F)
 
     return Convex(
         args=(jnp.asarray(A_grid), jnp.asarray(b_grid)),

@@ -14,7 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import ddarray
-from ._common import resolve_x, sample_grid
+from ._common import resolve_x, sample_grid, comp as _comp
 from .convex import Convex
 
 
@@ -57,7 +57,7 @@ def convex_piecewise(Q, *, mg=None, select=None, select_grid=None,
             total = None
             for k in range(npc):
                 val = fn_of_piece(k)(*_piece_args(piece_rows, k), y)
-                active = sel_row[k] != 0
+                active = _comp(sel_row, k) != 0
                 masked = ddarray.where(active, val, zero_of(val))
                 total = masked if total is None else reducer(total, masked)
             return total

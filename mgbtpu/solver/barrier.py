@@ -46,9 +46,21 @@ def make_level_fns(Fs):
             return Dz0 + ops.apply_G_dd(s)
         return Dz0 + ops.apply_G(s)
 
+    def _node(F, args, Dz, dd):
+        """vmap(F) over nodes; on the TPU dd path the whole per-node dd
+        derivative chain runs inside ONE Pallas kernel (ops/pallas_dd.py) —
+        XLA otherwise inlines the ~10^3-op error-free-transform chain into
+        every call site's fusion (310+ MB programs, the L=6 worker crash)."""
+        from ..ops import pallas_dd
+        from ..ops.ddarray import DD
+
+        if dd and pallas_dd.enabled() and isinstance(Dz, DD):
+            return pallas_dd.node_eval(F, args, (Dz.hi, Dz.lo))
+        return jax.vmap(F)(*args, Dz)
+
     def f0(s, ops, Dz0, wc, bw, *args):
         Dz = _Dz(s, ops, Dz0)
-        v = jax.vmap(F0)(*args, Dz)
+        v = _node(F0, args, Dz, ops.dd)
         if not ops.dd:
             per_node = jnp.where(bw != 0, bw * v, 0.0) + (wc * Dz).sum(axis=1)
             return per_node.sum()
@@ -71,7 +83,7 @@ def make_level_fns(Fs):
 
     def f1(s, ops, Dz0, wc, bw, *args):
         Dz = _Dz(s, ops, Dz0)
-        gv = jax.vmap(F1)(*args, Dz)
+        gv = _node(F1, args, Dz, ops.dd)
         if not ops.dd:
             y = jnp.where(bw[:, None] != 0, bw[:, None] * gv, 0.0) + wc
             return ops.apply_Gt(y)
@@ -92,7 +104,7 @@ def make_level_fns(Fs):
         from .levelops import GramHessian
 
         Dz = _Dz(s, ops, Dz0)
-        hv = jax.vmap(F2)(*args, Dz)
+        hv = _node(F2, args, Dz, ops.dd)
         if not ops.dd:
             Y = jnp.where(bw[:, None, None] != 0, bw[:, None, None] * hv, 0.0)
             if ops.pcg_ctx is not None:

@@ -50,6 +50,10 @@ class PanelOps:
     # central path.
     inv_idx: jnp.ndarray = None   # (n_J, K) int32 into flat (N*C)
     inv_mask: jnp.ndarray = None  # (n_J, K) bool, False on padding
+    # Kernel-layout panels (nD, p, C, N): the Pallas dd kernels put the
+    # element axis in lanes (tiny structural axes would pad to 128 lanes
+    # and blow VMEM ~10x). Built only on the dd path; None otherwise.
+    panels_k: jnp.ndarray = None
 
     def apply_G(self, s):
         """(n_J,) level coefficients -> (n_nodes, nD) operator values."""
@@ -63,10 +67,15 @@ class PanelOps:
         Dz = Dz0 + G s must carry more than f32 bits: its rounding noise
         re-enters the power-cone residual cancellation (r = s^a - |q|^2)
         at the same eps*|q|^2 scale the dd barrier evaluation removes."""
-        from ..ops import df64
+        from ..ops import df64, pallas_dd
         from ..ops.ddarray import DD
 
         sg = s[self.cols]                                   # (N, C)
+        if pallas_dd.enabled() and self.panels_k is not None:
+            hi, lo = pallas_dd.fwd_dd(self.panels_k, sg.T)  # (p, nD, N)
+            hi = hi.transpose(2, 0, 1).reshape(self.N * self.p, self.nD)
+            lo = lo.transpose(2, 0, 1).reshape(self.N * self.p, self.nD)
+            return DD(hi, lo)
         ph, pe = df64.two_prod(self.panels, sg[None, :, None, :])
         hi, lo = df64.dd_tree_sum((ph, pe), axis=3)         # (nD, N, p)
         hi = hi.transpose(1, 2, 0).reshape(self.N * self.p, self.nD)
@@ -88,29 +97,33 @@ class PanelOps:
         from ..ops.ddarray import DD
 
         if isinstance(Y, DD):
-            from ..ops import df64
-
-            Yh = Y.hi.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
-            Yl = Y.lo.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
-            ph, pe = df64.two_prod(self.panels, Yh[:, :, :, None])
-            pe = pe + self.panels * Yl[:, :, :, None]
-            hi, lo = df64.dd_tree_sum((ph, pe), axis=2)
-            hi, lo = df64.dd_tree_sum((hi, lo), axis=0)
+            hi, lo = self._adj_mid(Y.hi.reshape(self.N, self.p, self.nD),
+                                   Y.lo.reshape(self.N, self.p, self.nD))
             zh, zl = self.scatter_vec_dd(hi, lo)
             return zh + zl
         Yr = Y.reshape(self.N, self.p, self.nD)
         if not self.dd:
             contrib = jnp.einsum("kNpc,Npk->Nc", self.panels, Yr)
             return self.scatter_flat(contrib)
-        from ..ops import df64
-
-        # products (k, N, p, C) = panels * Y, reduced over (p, k) in df64
-        ph, pe = df64.two_prod(self.panels,
-                               Yr.transpose(2, 0, 1)[:, :, :, None])
-        hi, lo = df64.dd_tree_sum((ph, pe), axis=2)
-        hi, lo = df64.dd_tree_sum((hi, lo), axis=0)
+        hi, lo = self._adj_mid(Yr, jnp.zeros_like(Yr))
         zh, zl = self.scatter_vec_dd(hi, lo)
         return zh + zl
+
+    def _adj_mid(self, Yh, Yl):
+        """Adjoint contraction middle: dd contrib (N, C) pair from per-node
+        dd values Yh/Yl (N, p, nD). Pallas kernel on TPU."""
+        from ..ops import df64, pallas_dd
+
+        if pallas_dd.enabled() and self.panels_k is not None:
+            ch, cl = pallas_dd.adj_contrib(
+                self.panels_k, Yh.transpose(1, 2, 0), Yl.transpose(1, 2, 0))
+            return ch.T, cl.T
+        Yht = Yh.transpose(2, 0, 1)
+        Ylt = Yl.transpose(2, 0, 1)
+        ph, pe = df64.two_prod(self.panels, Yht[:, :, :, None])
+        pe = pe + self.panels * Ylt[:, :, :, None]
+        hi, lo = df64.dd_tree_sum((ph, pe), axis=2)
+        return df64.dd_tree_sum((hi, lo), axis=0)
 
     def apply_Gt_dd(self, Y):
         """Adjoint like ``apply_Gt`` but returning a DD vector with an exact
@@ -118,19 +131,15 @@ class PanelOps:
         the Newton solve: an f32-narrowed g is a relative-eps(f32)
         perturbation whose solve error ||H^-1 dg|| is amplified by the
         equilibrated condition ~ t (the residual stall at t ~ 3e7)."""
-        from ..ops import df64
         from ..ops.ddarray import DD
 
         if isinstance(Y, DD):
-            Yh = Y.hi.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
-            Yl = Y.lo.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
+            Yh = Y.hi.reshape(self.N, self.p, self.nD)
+            Yl = Y.lo.reshape(self.N, self.p, self.nD)
         else:
-            Yh = Y.reshape(self.N, self.p, self.nD).transpose(2, 0, 1)
+            Yh = Y.reshape(self.N, self.p, self.nD)
             Yl = jnp.zeros_like(Yh)
-        ph, pe = df64.two_prod(self.panels, Yh[:, :, :, None])
-        pe = pe + self.panels * Yl[:, :, :, None]
-        hi, lo = df64.dd_tree_sum((ph, pe), axis=2)          # (k, N, C)
-        hi, lo = df64.dd_tree_sum((hi, lo), axis=0)          # (N, C)
+        hi, lo = self._adj_mid(Yh, Yl)                       # (N, C)
         return DD(*self.scatter_vec_dd(hi, lo))
 
     def assemble_dense(self, Ynode):
@@ -308,11 +317,24 @@ def y_matvec_rel(ops: PanelOps, Ydd, v):
     iterative-refinement residuals keep the exact colored ``y_matvec_dd``.
     The colored scatter is K sequential rounds (latency) per call, which
     dominated the TPU per-iteration cost."""
-    from ..ops import df64
+    sh, sl = _ymv_mid(ops, Ydd, v)                       # (N, C)
+    return ops.scatter_flat(sh) + ops.scatter_flat(sl)
 
-    Dz = ops.apply_G_dd(v)
+
+def _ymv_mid(ops: PanelOps, Ydd, v):
+    """Fused gather-to-scatter middle of the dd H-apply: forward dd product,
+    node-block dd contraction, adjoint dd contraction — ONE Pallas kernel on
+    TPU (the per-CG-iteration hot op; no HBM intermediates)."""
+    from ..ops import df64, pallas_dd
+
     Yh = Ydd.hi.reshape(ops.N, ops.p, ops.nD, ops.nD)
     Yl = Ydd.lo.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    if pallas_dd.enabled() and ops.panels_k is not None:
+        ch, cl = pallas_dd.ymv_contrib(
+            ops.panels_k, Yh.transpose(1, 2, 3, 0), Yl.transpose(1, 2, 3, 0),
+            v[ops.cols].T)
+        return ch.T, cl.T
+    Dz = ops.apply_G_dd(v)
     Dzh = Dz.hi.reshape(ops.N, ops.p, ops.nD)
     Dzl = Dz.lo.reshape(ops.N, ops.p, ops.nD)
     ph, pe = df64.two_prod(Yh, Dzh[:, :, None, :])
@@ -321,8 +343,7 @@ def y_matvec_rel(ops: PanelOps, Ydd, v):
     rh, re = df64.two_prod(ops.panels, Wh.transpose(2, 0, 1)[:, :, :, None])
     re = re + ops.panels * Wl.transpose(2, 0, 1)[:, :, :, None]
     sh, sl = df64.dd_tree_sum((rh, re), axis=2)
-    sh, sl = df64.dd_tree_sum((sh, sl), axis=0)          # (N, C)
-    return ops.scatter_flat(sh) + ops.scatter_flat(sl)
+    return df64.dd_tree_sum((sh, sl), axis=0)            # (N, C)
 
 
 def y_matvec_dd(ops: PanelOps, Ydd, v):
@@ -333,22 +354,7 @@ def y_matvec_dd(ops: PanelOps, Ydd, v):
     levels too large to factorize: the f32 V-cycle-preconditioned CG is
     only the corrector (see newton.pcg_solve), so neither its rounding nor
     any f32 narrowing of the node blocks limits the direction accuracy."""
-    from ..ops import df64
-
-    Dz = ops.apply_G_dd(v)                                   # DD (m, nD)
-    Yh = Ydd.hi.reshape(ops.N, ops.p, ops.nD, ops.nD)
-    Yl = Ydd.lo.reshape(ops.N, ops.p, ops.nD, ops.nD)
-    Dzh = Dz.hi.reshape(ops.N, ops.p, ops.nD)
-    Dzl = Dz.lo.reshape(ops.N, ops.p, ops.nD)
-    # W_i = sum_j Y[i, j] Dz_j per node, in dd
-    ph, pe = df64.two_prod(Yh, Dzh[:, :, None, :])
-    pe = pe + Yh * Dzl[:, :, None, :] + Yl * Dzh[:, :, None, :]
-    Wh, Wl = df64.dd_tree_sum((ph, pe), axis=3)              # (N, p, i)
-    # adjoint contraction: contrib[e, c] = sum_{p, i} panels[i,e,p,c] W[e,p,i]
-    rh, re = df64.two_prod(ops.panels, Wh.transpose(2, 0, 1)[:, :, :, None])
-    re = re + ops.panels * Wl.transpose(2, 0, 1)[:, :, :, None]
-    sh, sl = df64.dd_tree_sum((rh, re), axis=2)              # (k, N, C)
-    sh, sl = df64.dd_tree_sum((sh, sl), axis=0)              # (N, C)
+    sh, sl = _ymv_mid(ops, Ydd, v)                           # (N, C)
     return ops.scatter_vec_dd(sh, sl)
 
 
@@ -430,12 +436,18 @@ def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
     slot_j = np.arange(len(fc)) - off_j[fc]
     inv_idx[fc, slot_j] = fp
     inv_mask[fc, slot_j] = True
+    from ..ops import pallas_dd
+
+    panels_k = None
+    if dd and pallas_dd.enabled():
+        panels_k = to_dev(np.ascontiguousarray(panels.transpose(0, 2, 3, 1)))
     out = PanelOps(
         cols=to_dev(cols, np.int32),
         panels=to_dev(panels),
         n_nodes=m, nD=nD, n_J=n_J, p=p, N=N, C=C, dd=dd,
         inv_idx=to_dev(inv_idx, np.int32),
-        inv_mask=to_dev(inv_mask))
+        inv_mask=to_dev(inv_mask),
+        panels_k=panels_k)
     # host copy for downstream host-side pattern builders (build_fsai_plan):
     # np.asarray(ops.cols) would BLOCK on every device transfer queued so
     # far — tens of seconds through the TPU tunnel at depth. Non-field
