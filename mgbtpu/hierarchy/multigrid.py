@@ -134,7 +134,21 @@ def _coefficient_transfers(subspaces: dict, refine: dict) -> dict:
                     dinv = 1.0 / EtE.diagonal()
                     C = sp.csr_matrix(sp.diags(dinv) @ rhs)
                 else:
-                    C = sp.csr_matrix(sp.linalg.splu(EtE).solve(rhs.toarray()))
+                    # overlapping columns (broken_P1 rider): factor once,
+                    # solve in COLUMN CHUNKS and sparsify each — a single
+                    # dense rhs.toarray() was 10+ GB at L=8 (C itself is
+                    # sparse/local; only the chunk is ever dense)
+                    solve = sp.linalg.factorized(EtE.tocsc())
+                    n_rhs = rhs.shape[1]
+                    chunk = max(1, min(n_rhs,
+                                       int(2e8 // max(E.shape[1], 1))))
+                    parts = []
+                    for c0 in range(0, n_rhs, chunk):
+                        blk = solve(rhs[:, c0:c0 + chunk].toarray())
+                        scale = np.abs(blk).max() if blk.size else 1.0
+                        blk[np.abs(blk) < 1e-10 * max(scale, 1e-30)] = 0.0
+                        parts.append(sp.csc_matrix(blk))
+                    C = sp.csr_matrix(sp.hstack(parts))
                 if C.shape != (n_next, target.shape[1]):
                     C = sp.csr_matrix(C.reshape(n_next, target.shape[1]))
             except Exception:

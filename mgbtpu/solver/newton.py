@@ -231,29 +231,14 @@ def make_dense_pre(H):
     Cholesky + explicit inverse) for one CENTERING: the Hessian drifts only
     O(lambda) within a centering, so the factorization chain — the dominant
     per-iteration cost on TPU — is built once per Newton run and the CG
-    corrector absorbs the staleness with a few extra iterations."""
-    import numpy as _np
-    from jax.scipy.linalg import cho_factor, cho_solve
+    corrector absorbs the staleness with a few extra iterations.
 
-    H32 = H.H32
-    dtype = H32.dtype
-    eps = float(_np.finfo(_np.dtype(dtype)).eps)
-    d = jnp.sqrt(jnp.abs(jnp.diagonal(H32)))
-    dinv = jnp.where(d > 0, 1.0 / d, 1.0)
-    Hs = H32 * (dinv[:, None] * dinv[None, :])
-    eye = jnp.eye(H32.shape[0], dtype=dtype)
-    # shift ladder: the regularization shift directly floors the
-    # preconditioned spectrum (kappa_pre ~ shift / lambda_min(Hs)), so
-    # prefer the smallest shift whose factorization stays finite
-    cf_a = cho_factor(Hs + jnp.asarray(2 * eps, dtype) * eye)
-    cf_b = cho_factor(Hs + jnp.asarray(32 * eps, dtype) * eye)
-    ok_a = jnp.all(jnp.isfinite(cf_a[0]))
-    cfM = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
-        cf_a, cf_b)
-    # explicit inverse: preconditioner applications become MXU matmuls
-    # instead of latency-bound triangular solves
-    return (cho_solve(cfM, eye), dinv)
+    Uses the O(1)-program-size blocked factorization (ops/blockchol.py):
+    XLA's expander-based cho_factor/cho_solve put ~300 MB of generated code
+    and a 2.1 GB temp into every Newton program at n ~ 5000."""
+    from ..ops.blockchol import shifted_spd_inverse
+
+    return shifted_spd_inverse(H.H32)
 
 
 def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
@@ -435,38 +420,20 @@ def make_pcg_pre(H, smooth_omega=0.7):
             # the V-cycle base level (Galerkin is exact here — the coarse
             # panel ops assemble T' H T of the SAME per-node factors), with
             # equilibrated shifted-Cholesky explicit inverse
+            from ..ops.blockchol import shifted_spd_inverse
+
             Hc = ctx.coarse_ops[ctx.dense_level].assemble_gram(H.Lnode)
-            dtype = Hc.dtype
-            eps = float(_np.finfo(_np.dtype(dtype)).eps)
-            dc = jnp.sqrt(jnp.abs(jnp.diagonal(Hc)))
-            dinv_c = jnp.where(dc > 0, 1.0 / dc, 1.0)
-            Hs_c = Hc * (dinv_c[:, None] * dinv_c[None, :])
-            eye = jnp.eye(Hc.shape[0], dtype=dtype)
-            cf_a = cho_factor(Hs_c + jnp.asarray(2 * eps, dtype) * eye)
-            cf_b = cho_factor(Hs_c + jnp.asarray(32 * eps, dtype) * eye)
-            ok_a = jnp.all(jnp.isfinite(cf_a[0]))
-            cf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype")
-                else a, cf_a, cf_b)
-            coarse = (cho_solve(cf, eye), dinv_c)
+            coarse = shifted_spd_inverse(Hc)
         return (Gtiles, dpos, coarse)
     Lnode = H.Lnode
     dtype = Lnode.dtype
     eps = float(_np.finfo(_np.dtype(dtype)).eps)
+    from ..ops.blockchol import shifted_spd_inverse
+
     dense_chos = []
     for l in range(ctx.dense_level + 1):
         Hl = ctx.coarse_ops[l].assemble_gram(Lnode)
-        d = jnp.sqrt(jnp.abs(jnp.diagonal(Hl)))
-        dinv = jnp.where(d > 0, 1.0 / d, 1.0)
-        Hs = Hl * (dinv[:, None] * dinv[None, :])
-        eye = jnp.eye(Hl.shape[0], dtype=dtype)
-        cf_a = cho_factor(Hs + jnp.asarray(2 * eps, dtype) * eye)
-        cf_b = cho_factor(Hs + jnp.asarray(32 * eps, dtype) * eye)
-        ok_a = jnp.all(jnp.isfinite(cf_a[0]))
-        cf = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok_a, a, b) if hasattr(a, "dtype") else a,
-            cf_a, cf_b)
-        dense_chos.append((cho_solve(cf, eye), dinv))
+        dense_chos.append(shifted_spd_inverse(Hl))
     from .levelops import gram_matvec as _gmv
 
     def smooth_data(o):
