@@ -59,9 +59,12 @@ def blocked_cholesky(A, block=512):
     return jnp.tril(L[:n, :n])
 
 
-def spd_inverse_from_chol(L, block=512):
-    """(L L^T)^-1 via a scan over identity column blocks (two fixed-width
-    triangular solves per block)."""
+def blocked_tril_inverse(L, block=512):
+    """L^-1 for lower-triangular L by blocked forward substitution on an
+    identity RHS: per row-block one small (block x block) triangular solve
+    plus full-width MXU matmuls — no n-dependent expander code (XLA's
+    TriangularSolveExpander unrolls over n: a (5120, 512)-RHS solve alone
+    was ~30 MB of code)."""
     n = L.shape[0]
     nb = -(-n // block)
     npad = nb * block
@@ -69,20 +72,33 @@ def spd_inverse_from_chol(L, block=512):
     if npad > n:
         pad_idx = jnp.arange(n, npad)
         Lp = Lp.at[pad_idx, pad_idx].set(1.0)
-    eye_blk = jnp.eye(block, dtype=L.dtype)
-    rows = jnp.arange(npad)
+    eye_b = jnp.eye(block, dtype=L.dtype)
+    cols = jnp.arange(npad)
 
-    def body(_, j):
-        e = jnp.zeros((npad, block), L.dtype)
-        e = lax.dynamic_update_slice(e, eye_blk, (j * block, 0))
-        y = lax.linalg.triangular_solve(Lp, e, left_side=True, lower=True)
-        x = lax.linalg.triangular_solve(Lp, y, left_side=True, lower=True,
-                                        transpose_a=True)
-        return _, x
+    def body(i, X):
+        i0 = i * block
+        Lii = lax.dynamic_slice(Lp, (i0, i0), (block, block))
+        Linv_ii = lax.linalg.triangular_solve(
+            Lii, eye_b, left_side=True, lower=True)
+        strip = lax.dynamic_slice(Lp, (i0, 0), (block, npad))   # L[i, :]
+        strip = jnp.where((cols < i0)[None, :], strip, 0.0)     # L[i, :i]
+        rhs = -jax.lax.dot(strip, X, precision=jax.lax.Precision.HIGHEST)
+        rhs = lax.dynamic_update_slice(
+            rhs, eye_b + lax.dynamic_slice(rhs, (0, i0), (block, block)),
+            (0, i0))
+        Xi = jax.lax.dot(Linv_ii, rhs,
+                         precision=jax.lax.Precision.HIGHEST)
+        return lax.dynamic_update_slice(X, Xi, (i0, 0))
 
-    _, cols = lax.scan(body, None, jnp.arange(nb))       # (nb, npad, block)
-    X = jnp.moveaxis(cols, 0, 1).reshape(npad, npad)
+    X = lax.fori_loop(0, nb, body, jnp.zeros((npad, npad), L.dtype))
     return X[:n, :n]
+
+
+def spd_inverse_from_chol(L, block=512):
+    """(L L^T)^-1 = (L^-1)^T (L^-1): blocked triangular inversion + one
+    SYRK-shaped MXU matmul."""
+    X = blocked_tril_inverse(L, block=block)
+    return jax.lax.dot(X.T, X, precision=jax.lax.Precision.HIGHEST)
 
 
 def shifted_spd_inverse(Hmat, shifts=(2.0, 32.0)):

@@ -73,3 +73,68 @@ def test_sharded_pcg_path_matches(monkeypatch):
     # Measured gap 3.1e-7 (~20x tol) across forcing settings and
     # preconditioners; the bar is ~2x that margin.
     assert np.abs(z0 - z1).max() < 6e-7
+
+
+def test_fine_pcg_matvec_collectives():
+    """Pin the GSPMD collective contract of the sharded Hessian matvec:
+    element-sharded compute + ONE all-reduce (the segment-sum assembly),
+    and no all-gather anywhere — in particular nothing materializes an
+    (n_J, n_J)-sized dense object on the fine level. This is the TPU-native
+    equivalent of the reference's row-partitioned matvec-only MPI contract
+    (src/mgb.jl:393-403): collectives ride ICI, O(n_J) bytes per matvec."""
+    import re
+    from collections import Counter
+
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    import jax.numpy as jnp
+
+    from mgbtpu import amg, assemble, fem2d_P2, subdivide
+    from mgbtpu.parallel import make_mesh
+    from mgbtpu.parallel.sharding import shard_fargs
+    from mgbtpu.solver import mgb as M
+    from mgbtpu.solver.levelops import gram_matvec, y_matvec_rel
+    from mgbtpu.solver.mgb import _kernels_for
+    from mgbtpu.solver.newton import linesearch_backtracking
+    from mgbtpu.ops.ddarray import DD
+
+    monkeypatch_ctx = pytest.MonkeyPatch()
+    monkeypatch_ctx.setattr(M.ProblemKernels, "DENSE_MAX", 50)
+    monkeypatch_ctx.setattr(M.ProblemKernels, "DENSE_BASE", 40)
+    try:
+        prob = assemble(amg(subdivide(fem2d_P2(dtype=np.float32), 3)),
+                        p=1.0, dtype=np.float32)
+        mesh = make_mesh(n)
+        kern = _kernels_for(prob.M[0], prob.Q.barrier,
+                            linesearch_backtracking(), np.float32, mesh=mesh)
+        l = prob.M[0].depth - 1
+        ops = kern.ops(l)
+        assert ops.pcg_ctx is not None
+        (ops_sh,) = shard_fargs(mesh, (ops,), ops.n_nodes, ops.N)
+        sh_nodes = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("nodes"))
+        Ln = jax.device_put(
+            jnp.ones((ops.n_nodes, ops.nD, ops.nD), jnp.float32), sh_nodes)
+        v = jnp.ones((ops.n_J,), jnp.float32)
+
+        def collectives(comp):
+            txt = comp.as_text()
+            names = re.findall(
+                r"(all-reduce|all-gather|reduce-scatter|all-to-all)", txt)
+            return Counter(names), txt
+
+        comp = jax.jit(gram_matvec).lower(ops_sh, Ln, v).compile()
+        c, txt = collectives(comp)
+        assert c.get("all-gather", 0) == 0, c
+        assert c.get("all-reduce", 0) >= 1
+        assert f"f32[{ops.n_J},{ops.n_J}]" not in txt
+
+        Ydd = DD(jax.device_put(
+            jnp.ones((ops.n_nodes, ops.nD, ops.nD), jnp.float32), sh_nodes))
+        comp2 = jax.jit(y_matvec_rel).lower(ops_sh, Ydd, v).compile()
+        c2, txt2 = collectives(comp2)
+        assert c2.get("all-gather", 0) == 0, c2
+        assert f"f32[{ops.n_J},{ops.n_J}]" not in txt2
+    finally:
+        monkeypatch_ctx.undo()
