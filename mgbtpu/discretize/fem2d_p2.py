@@ -201,6 +201,25 @@ def find_boundary_p2(geom: Geometry):
             if labels[e * V + v] in bset]
 
 
+def broken_p1_refine_block(dtype=np.float64) -> np.ndarray:
+    """The fixed (12, 3) coarse-to-fine transfer of the element-local
+    broken-P1 subspace coordinates (m12, m23, m31) under 4-way red
+    refinement: for each child (in the refine-table order) the rows are the
+    parent P1 function evaluated at the child's edge midpoints. Analytic —
+    the generic least-squares transfer machinery is bypassed for this
+    rider (see MultiGrid.from_subspaces)."""
+    A, B, C = np.eye(3)
+    AB, BC, CA = (A + B) / 2, (B + C) / 2, (C + A) / 2
+    # corner values (a, b, c) from midpoint coordinates (slot table inverse)
+    T = np.array([[1.0, -1.0, 1.0], [1.0, 1.0, -1.0], [-1.0, 1.0, 1.0]])
+    children = ((CA, A, AB), (AB, B, BC), (BC, C, CA), (AB, BC, CA))
+    rows = []
+    for c0, c1, c2 in children:
+        for pt in ((c0 + c1) / 2, (c1 + c2) / 2, (c2 + c0) / 2):
+            rows.append(pt @ T)
+    return np.asarray(rows, dtype=dtype)
+
+
 def broken_p1_embedding(N: int, V: int, dtype=np.float64) -> sp.csr_matrix:
     """Per-element linear subspace inside broken P2(+bubble), parametrized by
     the edge-midpoint values (m12, m23, m31): midpoint slots identity,
@@ -402,5 +421,10 @@ def geometric_mg_p2(geom: Geometry, L: int):
         subspaces["full"].append(sp.identity(nl, format="csr", dtype=dtype))
         subspaces["uniform"].append(sp.csr_matrix(np.ones((nl, 1), dtype=dtype)))
         subspaces["broken_P1"].append(broken_p1_embedding(Nl, V, dtype))
-    return MultiGrid.from_subspaces(geomL, subspaces,
-                                    {k: refine for k in subspaces})
+    bp1_block = broken_p1_refine_block(dtype)
+    bp1_transfers = [sp.block_diag([sp.csr_matrix(bp1_block)]
+                                   * meshes[l].shape[1], format="csr")
+                     for l in range(L - 1)]
+    return MultiGrid.from_subspaces(
+        geomL, subspaces, {k: refine for k in subspaces},
+        transfers_override={"broken_P1": bp1_transfers})

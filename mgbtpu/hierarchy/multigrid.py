@@ -81,10 +81,17 @@ class MultiGrid:
         self.transfers = transfers
 
     @classmethod
-    def from_subspaces(cls, geometry, subspaces: dict, refine: dict):
+    def from_subspaces(cls, geometry, subspaces: dict, refine: dict,
+                       transfers_override: dict | None = None):
+        """``transfers_override[X]`` supplies known-analytic coefficient
+        transfers for subspace X (still nestedness-validated), bypassing
+        the least-squares machinery — the generic E'E solve for the
+        element-local broken_P1 rider was ~8 of the 13 minutes of an L=8
+        geometric setup."""
         refine_s, subspaces_s = _stretch(refine, subspaces)
         R = _compose(subspaces_s, refine_s)
-        transfers = _coefficient_transfers(subspaces_s, refine_s)
+        transfers = _coefficient_transfers(subspaces_s, refine_s,
+                                           overrides=transfers_override)
         return cls(geometry, R, transfers)
 
     @property
@@ -95,7 +102,47 @@ class MultiGrid:
         return self.geometry.xflat()
 
 
-def _coefficient_transfers(subspaces: dict, refine: dict) -> dict:
+def _blockdiag_inverse(A: sp.spmatrix, max_block=16):
+    """Inverse of an SPD matrix whose sparsity decomposes into disjoint
+    diagonal blocks of size <= max_block (element-local subspace Gramians),
+    as a sparse matrix; None if the structure doesn't hold. Blocks are
+    grouped by size and inverted batched."""
+    from scipy.sparse.csgraph import connected_components
+
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    if n == 0:
+        return sp.csr_matrix(A.shape)
+    ncomp, labels = connected_components(A, directed=False)
+    sizes = np.bincount(labels)
+    if sizes.max() > max_block:
+        return None
+    order = np.argsort(labels, kind="stable")
+    rows_out, cols_out, vals_out = [], [], []
+    start = np.zeros(ncomp + 1, dtype=np.int64)
+    np.cumsum(sizes, out=start[1:])
+    for s in np.unique(sizes):
+        comps = np.flatnonzero(sizes == s)
+        # (n_g, s) member indices per component of this size
+        mem = np.stack([order[start[c]:start[c] + s] for c in comps]) \
+            if len(comps) < 1024 else \
+            order[(start[comps][:, None] + np.arange(s)[None, :])]
+        ii = np.repeat(mem[:, :, None], s, axis=2)
+        jj = np.repeat(mem[:, None, :], s, axis=1)
+        blocks = np.asarray(A[ii.reshape(-1), jj.reshape(-1)],
+                            dtype=np.float64).reshape(len(comps), s, s)
+        inv = np.linalg.inv(blocks)
+        rows_out.append(ii.reshape(-1))
+        cols_out.append(jj.reshape(-1))
+        vals_out.append(inv.reshape(-1))
+    return sp.csr_matrix(
+        (np.concatenate(vals_out),
+         (np.concatenate(rows_out), np.concatenate(cols_out))),
+        shape=A.shape)
+
+
+def _coefficient_transfers(subspaces: dict, refine: dict,
+                           overrides: dict | None = None) -> dict:
     """Per-subspace level-l -> level-(l+1) coefficient transfers C with
     subspaces[X][l+1] @ C == refine[X][l] @ subspaces[X][l].
 
@@ -109,7 +156,22 @@ def _coefficient_transfers(subspaces: dict, refine: dict) -> dict:
         rX, sX = refine[X], subspaces[X]
         L = len(rX)
         Cs = []
+        over = (overrides or {}).get(X)
         for l in range(L - 1):
+            if over is not None and l < len(over) and over[l] is not None:
+                C_o = sp.csr_matrix(over[l])
+                in_dtype = np.result_type(rX[l].dtype, sX[l].dtype)
+                target = sp.csr_matrix(rX[l].astype(np.float64)
+                                       @ sX[l].astype(np.float64))
+                E = sp.csr_matrix(sX[l + 1].astype(np.float64))
+                tol = 1e-8 if np.dtype(in_dtype).itemsize >= 8 else 3e-6
+                err = abs(E @ C_o.astype(np.float64) - target).max() \
+                    if target.nnz else 0.0
+                if err <= tol * max(1.0, abs(target).max()
+                                    if target.nnz else 1.0):
+                    Cs.append(C_o)
+                    continue
+                # fall through to the generic least-squares path
             # solve in float64 whatever the geometry dtype: float32 R
             # matrices fail an absolute 1e-8 nestedness check from their
             # own rounding (~1e-7), silently disabling every coefficient
@@ -134,21 +196,28 @@ def _coefficient_transfers(subspaces: dict, refine: dict) -> dict:
                     dinv = 1.0 / EtE.diagonal()
                     C = sp.csr_matrix(sp.diags(dinv) @ rhs)
                 else:
-                    # overlapping columns (broken_P1 rider): factor once,
-                    # solve in COLUMN CHUNKS and sparsify each — a single
-                    # dense rhs.toarray() was 10+ GB at L=8 (C itself is
-                    # sparse/local; only the chunk is ever dense)
-                    solve = sp.linalg.factorized(EtE.tocsc())
-                    n_rhs = rhs.shape[1]
-                    chunk = max(1, min(n_rhs,
-                                       int(2e8 // max(E.shape[1], 1))))
-                    parts = []
-                    for c0 in range(0, n_rhs, chunk):
-                        blk = solve(rhs[:, c0:c0 + chunk].toarray())
-                        scale = np.abs(blk).max() if blk.size else 1.0
-                        blk[np.abs(blk) < 1e-10 * max(scale, 1e-30)] = 0.0
-                        parts.append(sp.csc_matrix(blk))
-                    C = sp.csr_matrix(sp.hstack(parts))
+                    Binv = _blockdiag_inverse(EtE)
+                    if Binv is not None:
+                        # element-local rider (broken_P1): E'E decomposes
+                        # into tiny disjoint diagonal blocks — invert them
+                        # batched and keep everything sparse (the SuperLU
+                        # route below was ~400 s at L=8)
+                        C = sp.csr_matrix(Binv @ rhs)
+                    else:
+                        # general overlap: factor once, solve in COLUMN
+                        # CHUNKS and sparsify each — a single dense
+                        # rhs.toarray() was 10+ GB at L=8
+                        solve = sp.linalg.factorized(EtE.tocsc())
+                        n_rhs = rhs.shape[1]
+                        chunk = max(1, min(n_rhs,
+                                           int(2e8 // max(E.shape[1], 1))))
+                        parts = []
+                        for c0 in range(0, n_rhs, chunk):
+                            blk = solve(rhs[:, c0:c0 + chunk].toarray())
+                            scale = np.abs(blk).max() if blk.size else 1.0
+                            blk[np.abs(blk) < 1e-10 * max(scale, 1e-30)] = 0.0
+                            parts.append(sp.csc_matrix(blk))
+                        C = sp.csr_matrix(sp.hstack(parts))
                 if C.shape != (n_next, target.shape[1]):
                     C = sp.csr_matrix(C.reshape(n_next, target.shape[1]))
             except Exception:

@@ -224,6 +224,10 @@ CHEB_DEG = int(_os.environ.get("MGBTPU_CHEB_DEG", 3))
 #   "fsai"   — plain FSAI (purely local, CG counts grow with depth)
 BIG_PRE = _os.environ.get("MGBTPU_BIG_PRE", "vcycle")
 
+# diagnostic hook: set to a dict to capture pcg_solve's preconditioner
+# closures at trace time (None in production)
+_DEBUG_CAPTURE = None
+
 
 
 def make_dense_pre(H):
@@ -557,6 +561,12 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
 
     def M(r):
         return cycle(ctx.n_levels, r)
+
+    if _DEBUG_CAPTURE is not None:  # pragma: no cover - diagnostic hook
+        _DEBUG_CAPTURE["M"] = M
+        _DEBUG_CAPTURE["smooth"] = smooth
+        _DEBUG_CAPTURE["level_mv"] = level_mv
+        _DEBUG_CAPTURE["cycle"] = cycle
 
     def dot(a, b):
         hi, lo = df64.dd_dot(a, b)
