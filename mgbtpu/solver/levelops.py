@@ -271,6 +271,11 @@ class PCGContext:
     coarse_T: object = None  # BsrMatrix: dense-base level -> solve level
                              # (composed transfer for the 2-level FSAI
                              # coarse-grid correction, ops/bsr.py)
+    nd: object = None       # ops.ndchol.NDDev: nested-dissection direct
+                            # factorization plan of the solve level (the
+                            # default large-level solver; the deep-t barrier
+                            # Hessian defeats every smoother+coarse-space
+                            # combination, see ops/ndchol.py)
 
 
 @pytree_dataclass(static=())
@@ -364,6 +369,18 @@ def gram_diag(ops: PanelOps, Lnode):
     B = jnp.einsum("jNpc,Npji->Npic", ops.panels, Lr)
     contrib = (B * B).sum(axis=(1, 2))                      # (N, C)
     return ops.scatter_flat(contrib)
+
+
+def gram_element_blocks(ops: PanelOps, Lnode, col_scale=None):
+    """Per-element Gram blocks He[e] = (L^T P_e)^T (L^T P_e), optionally
+    with symmetric column scaling (equilibration): the input of the
+    nested-dissection factorization (assemble_gram without the scatter)."""
+    Lr = Lnode.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    B = jnp.einsum("jNpc,Npji->Npic", ops.panels, Lr)
+    Bf = B.reshape(ops.N, ops.p * ops.nD, ops.C)
+    if col_scale is not None:
+        Bf = Bf * col_scale[ops.cols][:, None, :]
+    return jnp.einsum("Nkc,Nkd->Ncd", Bf, Bf)
 
 
 def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,

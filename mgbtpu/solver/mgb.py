@@ -143,7 +143,9 @@ class ProblemKernels:
             g_c = _f1(s0, *fac) - g_phi
             H = _f2(s0, *fac)
             if isinstance(H, GramHessian):
-                solve = pcg_solve if H.ctx is not None else dense_ir_solve
+                pcg_like = H.ctx is not None and \
+                    getattr(H.ctx, "nd", None) is None
+                solve = pcg_solve if pcg_like else dense_ir_solve
             else:
                 solve = equilibrated_solve
             n_phi = solve(H, g_phi)
@@ -163,6 +165,8 @@ class ProblemKernels:
     DENSE_MAX = int(__import__("os").environ.get("MGBTPU_DENSE_MAX", 6144))
     DENSE_BASE = int(__import__("os").environ.get("MGBTPU_DENSE_BASE", 3072))
     MAX_VCYCLE = int(__import__("os").environ.get("MGBTPU_MAX_VCYCLE", 3))
+    # nested-dissection leaf size (elements per leaf front)
+    ND_LEAF_ELEMS = int(__import__("os").environ.get("MGBTPU_ND_LEAF", 16))
 
     def _plain_ops(self, l):
         if l not in self._ops:
@@ -183,12 +187,38 @@ class ProblemKernels:
         import dataclasses
 
         from .levelops import PCGContext, build_ell
+        from .newton import BIG_PRE
 
-        if any(self.M.T_fine[j] is None for j in range(l)):
+        if BIG_PRE != "nd" and any(self.M.T_fine[j] is None for j in range(l)):
             # a non-nested subspace: no coefficient transfers, so no
-            # V-cycle; fall back to the dense path (may be large)
+            # V-cycle; fall back to the dense path (may be large). The
+            # nested-dissection solver needs no transfers and handles
+            # non-nested subspaces.
             self._ops_solve[l] = base
             return base
+
+        cols_host = getattr(base, "host_cols", None)
+        if cols_host is None:  # pragma: no cover - legacy pickles
+            cols_host = np.asarray(base.cols)
+        nd = None
+        if BIG_PRE == "nd":
+            # nested-dissection direct factorization plan (ops/ndchol.py):
+            # the default large-level solver. Element centroids from the
+            # fine geometry; symbolic analysis once per level.
+            from ..ops.ndchol import NDPlan, NDDevicePlan
+
+            t0 = time.time()
+            X = np.asarray(self.M.geometry.xflat(), np.float64)
+            exy = X.reshape(base.N, base.p, -1).mean(axis=1)
+            nd = NDDevicePlan(
+                NDPlan(cols_host, base.n_J, exy,
+                       leaf_elems=self.ND_LEAF_ELEMS)).to_device()
+            _debug_timing(f"nd_plan[{l}] n_J={base.n_J}", t0)
+            ctx = PCGContext(coarse_ops=(), transfers=(),
+                             n_levels=0, dense_level=-1, nd=nd)
+            out = dataclasses.replace(base, pcg_ctx=ctx)
+            self._ops_solve[l] = out
+            return out
         dense_level = 0
         for j in range(l):
             if self._plain_ops(j).n_J <= self.DENSE_BASE:
@@ -215,9 +245,6 @@ class ProblemKernels:
         from .fsai import build_fsai_plan
 
         t0 = time.time()
-        cols_host = getattr(base, "host_cols", None)
-        if cols_host is None:  # pragma: no cover - legacy pickles
-            cols_host = np.asarray(base.cols)
         fsai = build_fsai_plan(cols_host, base.n_J)
         _debug_timing(f"fsai_plan[{l}]", t0)
         t0 = time.time()
@@ -487,11 +514,20 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
             cg_acc = 0
             while kappa > 1:
                 t1 = kappa * t
-                log("mgb_core", f"assisted step: t={t} kappa={kappa} t1={t1}")
+                # marginal-centering razor edge: when the decrement hovers at
+                # ~lambda_tol a centering can need ~max_newton+1 iterations
+                # and the sqrt(kappa) ladder then grinds asymptotically (the
+                # L=5/L=6 t~180 stall). Once kappa has collapsed, make ONE
+                # full-budget attempt; only its failure is a true stall.
+                boost = kappa < 1.05
+                log("mgb_core", f"assisted step: t={t} kappa={kappa} t1={t1}"
+                    + (" (full budget)" if boost else ""))
                 fin = finalize if t1 >= target else None
                 z_try, z_unf_try, its, cg_s, conv = mgb_step(
                     kern, z, wc_at(t1), bw, args, maxit=maxit,
-                    max_newton=max_newton, stopping=stopping, finalize=fin,
+                    max_newton=(min(4 * max_newton, maxit) if boost
+                                else max_newton),
+                    stopping=stopping, finalize=fin,
                     log=log)
                 its_acc += its
                 cg_acc += cg_s
@@ -500,6 +536,9 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
                         kappa = min(kappa0, kappa ** 2)
                     z, z_unf = z_try, z_unf_try
                     t = t1
+                    break
+                if boost:
+                    kappa = 1.0
                     break
                 log("mgb_core", "t refinement failed, shrinking kappa")
                 kappa = np.sqrt(kappa)
@@ -614,11 +653,16 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
             cg_acc = 0
             while kappa > 1:
                 t1 = kappa * t
-                log("mgb_core", f"k={k} t={t} kappa={kappa} t1={t1}")
+                boost = kappa < 1.05   # final full-budget attempt (see the
+                                       # assisted-step ladder note)
+                log("mgb_core", f"k={k} t={t} kappa={kappa} t1={t1}"
+                    + (" (full budget)" if boost else ""))
                 fin = finalize if t1 >= target else None
                 z_try, z_unf_try, its, cg_s, conv = mgb_step(
                     kern, z, wc_at(t1), bw, args, maxit=maxit,
-                    max_newton=max_newton, stopping=stopping, finalize=fin, log=log)
+                    max_newton=(min(4 * max_newton, maxit) if boost
+                                else max_newton),
+                    stopping=stopping, finalize=fin, log=log)
                 its_acc += its
                 cg_acc += cg_s
                 if conv:
@@ -627,6 +671,9 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                         kappa = min(kappa0, kappa ** 2)
                     z, z_unf = z_try, z_unf_try
                     t = t1
+                    break
+                if boost:
+                    kappa = 1.0
                     break
                 log("mgb_core", "t refinement failed, shrinking kappa")
                 kappa = np.sqrt(kappa)

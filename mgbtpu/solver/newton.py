@@ -222,7 +222,15 @@ CHEB_DEG = int(_os.environ.get("MGBTPU_CHEB_DEG", 3))
 #            the fine grid once an intermediate level exists.
 #   "fsai2a" — additive variant of fsai2
 #   "fsai"   — plain FSAI (purely local, CG counts grow with depth)
-BIG_PRE = _os.environ.get("MGBTPU_BIG_PRE", "vcycle")
+#   "nd"     (default) — nested-dissection multifrontal direct factors
+#            (ops/ndchol.py): at deep t the equilibrated barrier Hessian
+#            grows hundreds of near-null eigenvalues (406 below 1e-3 at
+#            the measured L=6 stall state) that no smoother+coarse-space
+#            combination represents — the V-cycle contraction collapses to
+#            0.998 and f32 CG diverges. A direct factorization with shift
+#            below lambda_min handles the same systems at O(n^1.5) MXU
+#            flops; this is the role cuDSS plays for the reference.
+BIG_PRE = _os.environ.get("MGBTPU_BIG_PRE", "nd")
 
 # diagnostic hook: set to a dict to capture pcg_solve's preconditioner
 # closures at trace time (None in production)
@@ -277,15 +285,37 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
         g_pair = (g.hi, g.lo)
     else:
         g_pair = (g, jnp.zeros_like(g))
-    dtype = H.H32.dtype
+    dtype = H.H32.dtype if H.H32 is not None else H.Lnode.dtype
     rtol = jnp.asarray(IR_RTOL if rtol is None else rtol, dtype)
     if pre is None:
-        pre = make_dense_pre(H)
-    Minv, dinv = pre
+        pre = make_nd_pre(H) if getattr(H.ctx, "nd", None) is not None \
+            else make_dense_pre(H)
+    if isinstance(pre[0], tuple):
+        # nested-dissection direct factors (ops/ndchol.py): pre =
+        # (fact_tuple, dinv). No tag string: the pre pytree flows through
+        # lax.cond refresh carries, so the two shapes are told apart by
+        # structure.
+        from ..ops.ndchol import nd_solve
+
+        fact, dinv = pre
+        ndp = H.ctx.nd
+
+        def apply_pre(r):
+            return nd_solve(ndp, fact, r)
+    else:
+        Minv, dinv = pre
+
+        def apply_pre(r):
+            return Minv @ r
 
     def ddot(a, b):
         hi, lo = df64.dd_dot(a, b)
         return hi + lo
+
+    # f64/x64 ND path: no dd node blocks — the plain f64 Gram matvec is
+    # already at working precision (the dd machinery exists to recover f64
+    # accuracy FROM f32 storage)
+    plain64 = H.Ydd is None
 
     def mv_s(u):
         # equilibrated matvec through the DOUBLE-FLOAT operator, narrowed
@@ -295,6 +325,8 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
         # the dd matvec's error is RELATIVE to the product, which is what
         # the GMRES-IR convergence theory (matvec in precision u^2) needs.
         # The inner corrector tolerates the plain-scatter variant.
+        if plain64:
+            return dinv * gram_matvec(H.ops, H.Lnode, dinv * u)
         return dinv * y_matvec_rel(H.ops, H.Ydd, dinv * u)
 
     def inner(r0):
@@ -302,7 +334,7 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
         # The raw H spans ~t^2 orders of magnitude near the reference
         # tolerance; on the unit-diagonal scale everything is O(1).
         rs = dinv * r0
-        z0 = Minv @ rs
+        z0 = apply_pre(rs)
         tol2 = rtol * rtol * ddot(rs, rs)
 
         def cond(c):
@@ -316,7 +348,7 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
             alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
             x = x + alpha * p2
             r = r - alpha * Hp
-            z = Minv @ r
+            z = apply_pre(r)
             rz2 = ddot(r, z)
             beta = jnp.where(rz != 0, rz2 / rz, 0.0)
             return (x, r, z, z + beta * p2, rz2, k + 1)
@@ -344,7 +376,10 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
         xh, xl, r, rnorm, ko, kcg = c
         delta, k_in = inner(r)
         xh, xl = df64.dd_add((xh, xl), (delta, zeros))
-        hx = y_matvec_dd(H.ops, H.Ydd, xh)
+        if plain64:
+            hx = (gram_matvec(H.ops, H.Lnode, xh), jnp.zeros_like(xh))
+        else:
+            hx = y_matvec_dd(H.ops, H.Ydd, xh)
         hx_lo = gram_matvec(H.ops, H.Lnode, xl)  # |xl| <= eps|xh|: f32 ok
         rh, rl = df64.dd_sub(g_pair, hx)
         rh, rl = df64.dd_sub((rh, rl), (hx_lo, zeros))
@@ -402,11 +437,38 @@ def _tree_finite(t):
     return out
 
 
+def make_nd_pre(H):
+    """Nested-dissection direct factorization of the equilibrated Gram
+    Hessian: 2-eps shift, 32-eps lax.cond fallback when a pivot block goes
+    non-finite (same ladder as the dense path). The factor is exact up to
+    the shift, so the near-null barrier spectrum that defeats every
+    smoother/coarse-space combination (ops/ndchol.py docstring) is handled
+    like the dense path handles it."""
+    import numpy as _np
+
+    from ..ops.ndchol import nd_factor, nd_finite
+    from .levelops import gram_diag, gram_element_blocks
+
+    ops = H.ops
+    ndp = H.ctx.nd
+    d = gram_diag(ops, H.Lnode)
+    dinv = jnp.where(d > 0, jax.lax.rsqrt(d), 1.0)
+    He = gram_element_blocks(ops, H.Lnode, dinv)
+    eps = float(_np.finfo(H.Lnode.dtype).eps)
+    fact = nd_factor(ndp, He, 2 * eps)
+    fact = lax.cond(nd_finite(fact),
+                    lambda f=fact: f,
+                    lambda: nd_factor(ndp, He, 32 * eps))
+    return (fact, dinv)
+
+
 def make_pcg_pre(H, smooth_omega=0.7):
     """Preconditioner data for one centering of a matrix-free level:
-    either the FSAI factor triple (G, G', sqrt-diag; BIG_PRE="fsai") or
-    the frozen V-cycle data (coarse assemblies + shifted Cholesky
-    inverses + smoother diagonals)."""
+    the nested-dissection direct factors (BIG_PRE="nd", default), the FSAI
+    factor triple (BIG_PRE="fsai*"), or the frozen V-cycle data (coarse
+    assemblies + shifted Cholesky inverses + smoother diagonals)."""
+    if getattr(H.ctx, "nd", None) is not None and BIG_PRE == "nd":
+        return make_nd_pre(H)
     import numpy as _np
     from jax.scipy.linalg import cho_factor, cho_solve
 
@@ -486,6 +548,11 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
 
     ops = H.ops
     ctx = H.ctx
+    if getattr(ctx, "nd", None) is not None:
+        # nested-dissection context: same GMRES-IR machinery as the dense
+        # path, only the preconditioner application differs
+        return dense_ir_solve(H, g, pre=pre, rtol=rel_tol,
+                              return_stats=return_stats)
     Lnode = H.Lnode
     from ..ops.ddarray import DD as _DD
 
@@ -838,7 +905,10 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             from .levelops import GramHessian
 
             if isinstance(H, GramHessian):
-                if H.ctx is None:
+                if H.ctx is None or getattr(H.ctx, "nd", None) is not None:
+                    # dense explicit inverse or nested-dissection factors:
+                    # both run the same GMRES-IR machinery, only the
+                    # preconditioner application differs
                     return dense_ir_solve(H, g, pre=pre, rtol=rtol,
                                           return_stats=True)
                 return pcg_solve(H, g, pre=pre, rel_tol=rtol,

@@ -15,11 +15,15 @@ import pytest
 
 def _fsai_setup(monkeypatch, L=3, p=1.0):
     from mgbtpu import amg, assemble, fem2d_P2, subdivide
+    from mgbtpu.solver import newton as NW
     from mgbtpu.solver.mgb import ProblemKernels, _kernels_for
     from mgbtpu.solver.newton import linesearch_backtracking
 
     monkeypatch.setattr(ProblemKernels, "DENSE_MAX", 50)
     monkeypatch.setattr(ProblemKernels, "DENSE_BASE", 40)
+    # the default large-level solver is the nested-dissection direct
+    # factorization; these tests exercise the FSAI machinery specifically
+    monkeypatch.setattr(NW, "BIG_PRE", "fsai2")
     g = subdivide(fem2d_P2(), L)
     prob = assemble(amg(g), p=p)
     M1 = prob.M[0]
