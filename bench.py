@@ -71,6 +71,23 @@ def main():
         dtype = np.float64
     else:
         dtype = np.float32
+    # optional scaling curve (MGB_BENCH_CURVE=4,5,6): extra levels recorded
+    # alongside the headline L in "extra.curve"
+    curve = {}
+    for Lc in [int(x) for x in
+               os.environ.get("MGB_BENCH_CURVE", "").split(",") if x]:
+        if Lc == L:
+            continue
+        try:
+            rc = run(Lc, dtype)
+            basec = BASELINE_GPU.get(Lc)
+            curve[Lc] = {"solve_s": round(rc["solve_s"], 4),
+                         "warm_s": round(rc["warm_s"], 3),
+                         "newton_its": rc["newton_its"],
+                         "vs_baseline": round(basec / rc["solve_s"], 3)
+                         if basec else None}
+        except Exception as e:  # pragma: no cover - curve is best-effort
+            curve[Lc] = {"error": f"{type(e).__name__}: {e}"[:200]}
     r = run(L, dtype)
     base = BASELINE_GPU.get(L)
     vs = (base / r["solve_s"]) if base else None
@@ -84,7 +101,8 @@ def main():
                   "setup_s": round(r["setup_s"], 3),
                   "newton_its": r["newton_its"],
                   "finite": r["finite"],
-                  "baseline_A40_s": base},
+                  "baseline_A40_s": base,
+                  **({"curve": curve} if curve else {})},
     }))
 
 

@@ -273,7 +273,6 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
     amplified by kappa ~ t in the direction).
     """
     import numpy as _np
-    from jax.scipy.linalg import cho_factor, cho_solve
 
     from ..ops import df64
     from ..ops.ddarray import DD
@@ -470,7 +469,6 @@ def make_pcg_pre(H, smooth_omega=0.7):
     if getattr(H.ctx, "nd", None) is not None and BIG_PRE == "nd":
         return make_nd_pre(H)
     import numpy as _np
-    from jax.scipy.linalg import cho_factor, cho_solve
 
     from .levelops import gram_diag
 
@@ -541,8 +539,6 @@ def pcg_solve(H, g, *, rel_tol=None, maxiter=None, smooth_omega=0.7,
     coefficient-level ELL operators. CG from x0=0 keeps g.x > 0 at every
     iterate, so the decrement test never sees a fabricated lambda^2 <= 0.
     """
-    from jax.scipy.linalg import cho_factor, cho_solve
-
     from ..ops import df64
     from .levelops import gram_diag, gram_matvec
 
