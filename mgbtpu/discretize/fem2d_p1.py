@@ -64,20 +64,13 @@ def fem2d_P1(*, K=None, t=None, dtype=np.float64) -> Geometry:
 
 
 def boundary_corners(tri_conn: np.ndarray) -> set:
-    """Corner ids on the boundary: endpoints of edges used by one triangle."""
-    from collections import Counter
-
-    cnt: Counter = Counter()
-    for tri in tri_conn:
-        a, b, c = int(tri[0]), int(tri[1]), int(tri[2])
-        for i, j in ((a, b), (b, c), (c, a)):
-            cnt[(min(i, j), max(i, j))] += 1
-    out = set()
-    for (i, j), c in cnt.items():
-        if c == 1:
-            out.add(i)
-            out.add(j)
-    return out
+    """Corner ids on the boundary: endpoints of edges used by one triangle
+    (vectorized edge counting)."""
+    t = np.asarray(tri_conn, dtype=np.int64)
+    e = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    uniq, cnt = np.unique(e, axis=0, return_counts=True)
+    return set(np.unique(uniq[cnt == 1]).tolist())
 
 
 def find_boundary_p1(geom: Geometry):
@@ -85,8 +78,9 @@ def find_boundary_p1(geom: Geometry):
     labels = geom.t.reshape(-1, order="F")
     tri_conn = geom.t.T
     bset = boundary_corners(tri_conn)
-    return [(v, e) for e in range(N) for v in range(3)
-            if labels[e * 3 + v] in bset]
+    mask = np.isin(labels, np.fromiter(bset, dtype=np.int64))
+    flat = np.flatnonzero(mask)
+    return [(int(i % 3), int(i // 3)) for i in flat]
 
 
 def p1_stiffness(corners: np.ndarray, tri_conn: np.ndarray) -> sp.csr_matrix:
@@ -114,13 +108,9 @@ def _corner_doubling_bridge(tri_conn: np.ndarray, n_v: int,
     N = tri_conn.shape[0]
     idx = -np.ones(n_v, dtype=np.int64)
     idx[interior] = np.arange(len(interior))
-    rows, cols = [], []
-    for e in range(N):
-        for v in range(3):
-            c = idx[tri_conn[e, v]]
-            if c >= 0:
-                rows.append(e * 3 + v)
-                cols.append(c)
+    flat_c = idx[tri_conn.reshape(-1)]
+    rows = np.flatnonzero(flat_c >= 0)
+    cols = flat_c[rows]
     return sp.csr_matrix((np.ones(len(rows), dtype=dtype), (rows, cols)),
                          shape=(3 * N, len(interior)))
 
@@ -143,7 +133,9 @@ def amg_p1(geom: Geometry, prolongator, dirichlet_nodes, auxiliary_postprocess):
         K_full = sp.csr_matrix(auxiliary_postprocess(K_full))
 
     def hierarchy(interior):
-        K_loc = K_full[np.ix_(interior, interior)]
+        # row-then-column slicing: scipy's np.ix_ path materializes
+        # the full (n, n) index grid (258 GiB at 263k nodes)
+        K_loc = K_full[interior][:, interior]
         P_amg = run_prolongator(K_loc, prolongator)
         bridge = _corner_doubling_bridge(tri_conn, n_v, interior, dtype)
         return assemble_ladder(P_amg, bridge, n_broken)

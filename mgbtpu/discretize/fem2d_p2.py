@@ -175,22 +175,15 @@ def fem2d_P2(*, bubble=None, K=None, t=None, dtype=np.float64) -> Geometry:
 # ---------------------------------------------------------------------------
 
 def _p2_boundary_set(labels: np.ndarray, V: int, N: int) -> set:
-    """Boundary node ids by half-edge counts over the perimeter slots."""
-    from collections import Counter
-
+    """Boundary node ids by half-edge counts over the perimeter slots
+    (vectorized)."""
     t = labels.reshape(V, N, order="F")
     halfedges = ((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0))
-    cnt: Counter = Counter()
-    for e in range(N):
-        for a, b in halfedges:
-            i, j = int(t[a, e]), int(t[b, e])
-            cnt[(min(i, j), max(i, j))] += 1
-    out = set()
-    for (i, j), c in cnt.items():
-        if c == 1:
-            out.add(i)
-            out.add(j)
-    return out
+    e = np.concatenate([np.stack([t[a], t[b]], axis=1)
+                        for a, b in halfedges])
+    e = np.sort(e, axis=1)
+    uniq, cnt = np.unique(e, axis=0, return_counts=True)
+    return set(np.unique(uniq[cnt == 1]).tolist())
 
 
 def find_boundary_p2(geom: Geometry):
@@ -304,7 +297,9 @@ def amg_p2(geom: Geometry, prolongator, dirichlet_nodes):
     K_full = p1_stiffness(corners, tri_conn)
 
     def hierarchy(interior, mask_set=None):
-        K_loc = K_full[np.ix_(interior, interior)]
+        # row-then-column slicing: scipy's np.ix_ path materializes
+        # the full (n, n) index grid (258 GiB at 263k nodes)
+        K_loc = K_full[interior][:, interior]
         P_amg = run_prolongator(K_loc, prolongator)
         bridge = _p2_corner_bridge(tri_conn, n_v, interior, V, dtype)
         if mask_set is not None:

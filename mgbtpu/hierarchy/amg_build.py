@@ -284,7 +284,7 @@ def _amg_tensorfem(geom, prolongator, dirichlet_nodes, auxiliary_postprocess):
         dd_set = set(int(full_labels[r]) for r in pairs_to_linear(nodes, n))
         dc_set = set(full_to_corner[f] for f in dd_set if f in full_to_corner)
         interior = np.array(sorted(set(range(n_v)) - dc_set), dtype=np.int64)
-        K_int = K_full[np.ix_(interior, interior)] if len(interior) else \
+        K_int = K_full[interior][:, interior] if len(interior) else \
             sp.csr_matrix((0, 0))
         P_dir = run_prolongator(K_int, prolongator)
         bridge = _interior_q1_lift(node_map_q1, k, d, n_v, interior, dtype)
