@@ -287,28 +287,6 @@ class NDDevicePlan:
         flat_dofs = plan.cols.reshape(-1)
         self.leaf_loc = slot_of(0, flat_nodes, flat_dofs).reshape(N, C)
         self.leaf_of_elem = le
-        # GATHER-form leaf assembly (XLA scatter-add serializes; a padded
-        # inverse-incidence gather + masked sum is the PanelOps.inv_idx
-        # trick): for every leaf-front entry, the (<= K) flat positions of
-        # He entries landing there.
-        L0 = self.levels[0]
-        f0 = L0["amax"] + L0["bmax"]
-        nl = L0["nk"]
-        tgt = (le[:, None, None] * (f0 + 1) * (f0 + 1)
-               + self.leaf_loc[:, :, None] * (f0 + 1)
-               + self.leaf_loc[:, None, :]).reshape(-1)
-        src = np.arange(N * C * C, dtype=np.int64)
-        order = np.argsort(tgt, kind="stable")
-        tgt_s, src_s = tgt[order], src[order]
-        cnt = np.bincount(tgt_s, minlength=nl * (f0 + 1) * (f0 + 1))
-        K = max(int(cnt.max()) if len(cnt) else 1, 1)
-        inv = np.full((nl * (f0 + 1) * (f0 + 1), K), N * C * C,
-                      dtype=np.int64)                      # pad -> dump
-        startp = np.zeros(len(cnt) + 1, dtype=np.int64)
-        np.cumsum(cnt, out=startp[1:])
-        slotp = np.arange(len(tgt_s)) - startp[tgt_s]
-        inv[tgt_s, slotp] = src_s
-        self.leaf_inv = inv.reshape(nl, f0 + 1, f0 + 1, K)
         # child-boundary -> parent-front maps, BOTH directions: cmap for
         # reference/tests, inverse (gather) maps for the device assembly
         self.child_maps = []
@@ -353,7 +331,6 @@ class NDDevicePlan:
                      leaf_loc=to_dev(self.leaf_loc, np.int32),
                      child_maps=tuple(to_dev(m, np.int32)
                                       for m in self.child_maps),
-                     leaf_inv=to_dev(self.leaf_inv, np.int32),
                      parent_gather=tuple(
                          (to_dev(a, np.int32), to_dev(b, np.int32))
                          for a, b in self.parent_gather),
@@ -381,7 +358,6 @@ class NDDev:
     leaf_of_elem: jnp.ndarray
     leaf_loc: jnp.ndarray
     child_maps: tuple
-    leaf_inv: jnp.ndarray  # (nl, f0+1, f0+1, K) gather-form leaf assembly
     parent_gather: tuple   # per internal level: (invL, invR) parent-slot ->
                            # child-b-slot maps (miss -> bmax_child)
     depth: int
@@ -417,9 +393,14 @@ def nd_factor(dp: "NDDev", He, diag_shift):
         amax, bmax, nk = L.amax, L.bmax, L.nk
         f = amax + bmax
         if li == 0:
-            flat = jnp.concatenate([He.reshape(-1),
-                                    jnp.zeros((1,), He.dtype)])
-            F = flat[dp.leaf_inv].sum(axis=-1)          # (nl, f+1, f+1)
+            # leaf assembly: one scatter-add of the (N, C, C) element
+            # blocks (the expensive scatters were the O(b^2)-per-node
+            # child updates, which are gather-form below; this one is
+            # nnz-bounded)
+            F = jnp.zeros((nk, f + 1, f + 1), He.dtype)
+            F = F.at[dp.leaf_of_elem[:, None, None],
+                     dp.leaf_loc[:, :, None],
+                     dp.leaf_loc[:, None, :]].add(He)
         else:
             invL, invR = dp.parent_gather[li - 1]
             bmax_c = dp.levels[li - 1].bmax

@@ -573,14 +573,12 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
     dtype = kern.dtype
     epsT = effective_eps(dtype)
     if max_newton is None:
-        # reference formula (src/mgb.jl:101) + 2 extra on the dd path: the
-        # f32/dd decrement tracks f64 to ~4 digits but each kappa-jump
-        # centering lands at ~8 iterations, exactly the reference budget —
-        # a razor edge where low-bit noise flips marginal centerings into
-        # failure cascades (measured at L=6: max_newton 8 -> 10 cut total
-        # Newton its 329 -> 176 and CG its 24944 -> 10074)
-        max_newton = int(np.ceil(np.log2(-np.log2(epsT)))) + 2 \
-            + (2 if kern.dd else 0)
+        # reference formula (src/mgb.jl:101) + 2 extra: each kappa-jump
+        # centering lands at ~8 iterations, exactly the reference's budget —
+        # a razor edge where marginal centerings flip into failure cascades.
+        # Swept at L=6: f32/dd 329 -> 176 its, f64 235 -> 180 its with the
+        # +2; kappa0 = 10 or 4 are both worse at either budget.
+        max_newton = int(np.ceil(np.log2(-np.log2(epsT)))) + 4
     fusable_stop = early_stop is None or (isinstance(early_stop, tuple)
                                           and early_stop[0] == "feasibility")
     if early_stop is None:
