@@ -61,7 +61,35 @@ relf = np.abs(gotf - fwd_oracle).max() / np.abs(fwd_oracle).max()
 print("fwd_dd vs f64 oracle rel:", relf, flush=True)
 assert relf < 1e-12, "fwd kernel not dd-accurate on TPU"
 
-# 3. end-to-end solve through the kernels
+# 3. nested-dissection factor exactness on hardware (f32 bar)
+from mgbtpu.ops.ndchol import NDPlan, NDDevicePlan, nd_factor, nd_solve  # noqa: E402
+
+elems = []
+for i in range(16):
+    for j in range(16):
+        a = i * 17 + j; b = (i + 1) * 17 + j
+        elems.append([a, b, a + 1]); elems.append([b, b + 1, a + 1])
+cols = np.array(elems)
+xy = np.stack([(cols // 17).mean(axis=1), (cols % 17).mean(axis=1)], axis=1)
+nnd = 17 * 17
+He = np.zeros((len(cols), 3, 3), np.float32)
+for e in range(len(cols)):
+    B = rng.standard_normal((5, 3)).astype(np.float32)
+    He[e] = B.T @ B + 0.5 * np.eye(3, dtype=np.float32)
+dpnd = NDDevicePlan(NDPlan(cols, nnd, xy, leaf_elems=8)).to_device()
+fact = jax.jit(nd_factor)(dpnd, jnp.asarray(He), 1e-6)
+b = jnp.asarray(rng.standard_normal(nnd), jnp.float32)
+x = np.asarray(jax.jit(nd_solve)(dpnd, fact, b))
+import scipy.sparse as sp
+rows = np.repeat(cols[:, :, None], 3, axis=2).reshape(-1)
+cc = np.repeat(cols[:, None, :], 3, axis=1).reshape(-1)
+Hs = sp.coo_matrix((He.reshape(-1).astype(np.float64), (rows, cc)),
+                   shape=(nnd, nnd)).tocsr() + 1e-6 * sp.identity(nnd)
+rel_nd = np.linalg.norm(np.asarray(b) - Hs @ x) / np.linalg.norm(np.asarray(b))
+print("nd_solve rel res (TPU):", rel_nd, flush=True)
+assert rel_nd < 1e-4, "ND factorization inaccurate on TPU"
+
+# 4. end-to-end solve through the kernels
 from mgbtpu import amg, assemble, fem2d_P2, mgb_solve, subdivide  # noqa: E402
 
 L = int(os.environ.get("SMOKE_L", "4"))

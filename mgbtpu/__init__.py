@@ -33,6 +33,7 @@ from . import zoo
 # the function shadows the subpackage on purpose: plot(sol) is the API
 # (reference extends PyPlot.plot); the module stays importable as
 # ``from mgbtpu.plot.plotting import ...``
+from .plot.html3d import plot3d_html
 from .plot.plotting import animation_html, plot, save_animation
 
 __version__ = "0.1.0"
@@ -51,5 +52,5 @@ __all__ = [
     "default_D", "default_f", "default_g", "default_idx",
     "parabolic_solve", "ParabolicSOL", "gmsh_import", "Model", "make_mesh",
     "save_solution", "load_solution", "warm_start_grid", "zoo",
-    "animation_html", "plot", "save_animation",
+    "animation_html", "plot", "plot3d_html", "save_animation",
 ]
