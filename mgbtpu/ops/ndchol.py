@@ -103,24 +103,12 @@ class NDPlan:
         # dof touched by node (k, i) iff [lmin, lmax] intersects that range
         # and front-member iff additionally its LCA level <= k (assigned at
         # or above this level).
-        key = lev * (1 << (depth + 1)) + node_idx    # assignment node key
         self.assign_lev = lev
         self.assign_idx = node_idx
         self.lmin, self.lmax = lmin, lmax
         self.leaf_of_elem = leaf
         self.cols = cols
 
-        # build per-level node structures
-        dof_ids = np.arange(n_J)
-        self.level_nodes = []
-        for k in range(depth, -1, -1):
-            n_nodes = 1 << k
-            # dofs whose LCA is exactly at (k, i)
-            sel = lev == k
-            order = np.lexsort((dof_ids[sel], node_idx[sel]))
-            a_d = dof_ids[sel][order]
-            a_i = node_idx[sel][order]
-            self.level_nodes.append((k, n_nodes, a_d, a_i))
 
     def front_dofs(self, k, i):
         """Front of node (k, i): dofs assigned at (k, i) first, then

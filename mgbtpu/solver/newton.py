@@ -931,17 +931,19 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
     Y = _DDY if dd else _PlainY
     G = _DDG if dd else _PlainG
 
-    # Roundoff floor for the lambda^2 <= 0 convergence test: in dd mode the
-    # per-node derivatives are double-float (solver/barrier.py) and the Gram
-    # solve keeps inc > 0 structurally; a small multiple of eps(f32) absorbs
-    # the residual f32 narrowing noise of the assembled gradient.
-    floor_scale = 4.0 if dd else 1.0
+    # Roundoff floor for the lambda^2 <= 0 convergence test. The at-floor
+    # CONVERGED window scales with |y| (which grows ~t through the ramp), so
+    # it must sit at the OBJECTIVE's actual evaluation noise: on the dd path
+    # everything through the decrement is double-float, noise ~2^-48|y| — a
+    # floor at eps(f32)|y| would accept lambda up to ~4 near the target
+    # t ~ 6.7e7 (|y| ~ 3e7). 16x margin over the dd ulp.
+    dd_eps = 16.0 * 2.0 ** -48
 
     tight_rtol = IR_RTOL if dd else 1e-5
 
     def newton(x0, fargs, maxit, lambda_tol, theta):
         dtype = x0.dtype
-        epsT = jnp.finfo(dtype).eps * floor_scale
+        epsT = jnp.asarray(dd_eps if dd else jnp.finfo(dtype).eps, dtype)
         y0 = f0(x0, *fargs)
         g0 = f1(x0, *fargs)
         ok0 = Y.isfinite(y0) & G.finite(g0)
@@ -1000,7 +1002,12 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             # lambda^2 <= 0 (post-fallback): converged only at the objective
             # roundoff floor, else report failure so the caller bisects /
             # shrinks kappa (reference newton.jl:256-270)
-            at_floor = jnp.abs(inc) <= epsT * jnp.maximum(jnp.abs(Y.hi(y)), 1.0)
+            # floor window: the objective's evaluation noise, OR lambda at
+            # most lambda_tol/4 (inexact mode) — honest acceptance at any
+            # |y| scale (|y| grows ~t through the ramp)
+            at_floor = jnp.abs(inc) <= jnp.maximum(
+                epsT * jnp.maximum(jnp.abs(Y.hi(y)), 1.0),
+                jnp.where(lambda_tol >= 0, (0.25 * lambda_tol) ** 2, 0.0))
             bad_inc = inc <= 0
 
             if ls_kind == "illinois":
