@@ -1,0 +1,154 @@
+"""Batched dense linear algebra in double-float (f32 hi/lo pairs).
+
+The f32 multifrontal factors are shift-limited: the 2*eps(f32) shift on
+the equilibrated barrier Hessian swamps lambda_min ~ 1/t at deep t, and
+the preconditioned CG degenerates (measured: 1000-2800 CG its per ramp
+step at t >= 8e5, ~75%% of all linear-solve work). Factoring in dd
+resolves to ~2^-48 * kappa ~ 2e-4 at the target t = 6.7e7, so the
+corrector converges in a few iterations at every ramp depth.
+
+All routines are ROLLED (lax.fori_loop over columns with dynamic slices):
+program size is O(1) in the matrix dimension — the XLA expanders' unrolled
+code bloat is what ops/blockchol.py exists to avoid, and dd needs custom
+loops anyway. Everything is elementwise VPU work (error-free transforms
+use no matmuls); batching over the leading axis provides the parallelism.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import df64
+
+
+def dd_cholesky(Ah, Al):
+    """Batched lower Cholesky of SPD dd matrices (B, n, n) -> dd (Lh, Ll).
+
+    Right-looking, one column per fori_loop step; masked full-width
+    trailing updates keep shapes static. Non-PD pivots propagate NaN like
+    ``jnp.linalg.cholesky``.
+    """
+    B, n, _ = Ah.shape
+    rows = jnp.arange(n)
+
+    def body(j, carry):
+        Lh, Ll = carry
+        # pivot d = A[j, j]
+        piv_h = lax.dynamic_slice(Lh, (0, j, j), (B, 1, 1))[:, 0, 0]
+        piv_l = lax.dynamic_slice(Ll, (0, j, j), (B, 1, 1))[:, 0, 0]
+        sh, sl = df64.dd_sqrt((piv_h, piv_l))
+        inv_h, inv_l = df64.dd_recip((sh, sl))
+        # column j (full height, masked to rows >= j)
+        ch = lax.dynamic_slice(Lh, (0, 0, j), (B, n, 1))[:, :, 0]
+        cl = lax.dynamic_slice(Ll, (0, 0, j), (B, n, 1))[:, :, 0]
+        below = rows[None, :] >= j
+        colh, coll = df64.dd_mul((ch, cl), (inv_h[:, None], inv_l[:, None]))
+        colh = jnp.where(below, colh, 0.0)
+        coll = jnp.where(below, coll, 0.0)
+        # exact diagonal: L[j, j] = s
+        colh = colh.at[:, j].set(sh)
+        coll = coll.at[:, j].set(sl)
+        # trailing update A[j+1:, j+1:] -= col col^T (strictly-below mask)
+        strict = rows[None, :] > j
+        uh = jnp.where(strict, colh, 0.0)
+        ul = jnp.where(strict, coll, 0.0)
+        oh, ol = df64.dd_mul((uh[:, :, None], ul[:, :, None]),
+                             (uh[:, None, :], ul[:, None, :]))
+        Lh2, Ll2 = df64.dd_sub((Lh, Ll), (oh, ol))
+        # write column j, keep columns < j, zero column entries above diag
+        keep = (jnp.arange(n)[None, None, :] != j)
+        Lh2 = jnp.where(keep, Lh2, colh[:, :, None])
+        Ll2 = jnp.where(keep, Ll2, coll[:, :, None])
+        return (Lh2, Ll2)
+
+    Lh, Ll = lax.fori_loop(0, n, body, (Ah, Al))
+    tril = rows[:, None] >= rows[None, :]
+    return jnp.where(tril, Lh, 0.0), jnp.where(tril, Ll, 0.0)
+
+
+def dd_tri_solve_right(Lh, Ll, Bh, Bl):
+    """Solve X L^T = B for X (batched): L dd lower (Bk, n, n), B dd
+    (Bk, m, n). Forward substitution over columns of X."""
+    Bk, m, n = Bh.shape
+
+    def body(j, carry):
+        Xh, Xl = carry
+        # X[:, :, j] = (B[:, :, j] - sum_{i<j} X[:, :, i] L[j, i]) / L[j, j]
+        Lrow_h = lax.dynamic_slice(Lh, (0, j, 0), (Bk, 1, n))[:, 0, :]
+        Lrow_l = lax.dynamic_slice(Ll, (0, j, 0), (Bk, 1, n))[:, 0, :]
+        mask = (jnp.arange(n) < j)[None, :]
+        Lrow_h = jnp.where(mask, Lrow_h, 0.0)
+        Lrow_l = jnp.where(mask, Lrow_l, 0.0)
+        # acc = X[:, :, :] . Lrow  (only columns < j are nonzero in Lrow)
+        ph, pe = df64.dd_mul((Xh, Xl),
+                             (Lrow_h[:, None, :], Lrow_l[:, None, :]))
+        ah, al = df64.dd_tree_sum((ph, pe), axis=2)
+        bh = lax.dynamic_slice(Bh, (0, 0, j), (Bk, m, 1))[:, :, 0]
+        bl = lax.dynamic_slice(Bl, (0, 0, j), (Bk, m, 1))[:, :, 0]
+        rh, rl = df64.dd_sub((bh, bl), (ah, al))
+        piv_h = lax.dynamic_slice(Lh, (0, j, j), (Bk, 1, 1))[:, 0, 0]
+        piv_l = lax.dynamic_slice(Ll, (0, j, j), (Bk, 1, 1))[:, 0, 0]
+        ih, il = df64.dd_recip((piv_h, piv_l))
+        xh, xl = df64.dd_mul((rh, rl), (ih[:, None], il[:, None]))
+        keep = (jnp.arange(n)[None, None, :] != j)
+        Xh = jnp.where(keep, Xh, xh[:, :, None])
+        Xl = jnp.where(keep, Xl, xl[:, :, None])
+        return (Xh, Xl)
+
+    Z = jnp.zeros_like(Bh)
+    Xh, Xl = lax.fori_loop(0, n, body, (Z, Z))
+    return Xh, Xl
+
+
+def dd_tri_solve_left(Lh, Ll, bh, bl, transpose=False):
+    """Solve L y = b (or L^T y = b) for dd vectors: L (Bk, n, n),
+    b (Bk, n). Rolled forward/back substitution."""
+    Bk, n = bh.shape
+    idx = jnp.arange(n)
+
+    def fwd(j, carry):
+        yh, yl = carry
+        Lrow_h = lax.dynamic_slice(Lh, (0, j, 0), (Bk, 1, n))[:, 0, :]
+        Lrow_l = lax.dynamic_slice(Ll, (0, j, 0), (Bk, 1, n))[:, 0, :]
+        mask = (idx < j)[None, :]
+        ph, pe = df64.dd_mul((jnp.where(mask, Lrow_h, 0.0),
+                              jnp.where(mask, Lrow_l, 0.0)), (yh, yl))
+        ah, al = df64.dd_tree_sum((ph, pe), axis=1)
+        rbh = lax.dynamic_slice(bh, (0, j), (Bk, 1))[:, 0]
+        rbl = lax.dynamic_slice(bl, (0, j), (Bk, 1))[:, 0]
+        rh, rl = df64.dd_sub((rbh, rbl), (ah, al))
+        piv_h = lax.dynamic_slice(Lh, (0, j, j), (Bk, 1, 1))[:, 0, 0]
+        piv_l = lax.dynamic_slice(Ll, (0, j, j), (Bk, 1, 1))[:, 0, 0]
+        qh, ql = df64.dd_div((rh, rl), (piv_h, piv_l))
+        return (yh.at[:, j].set(qh), yl.at[:, j].set(ql))
+
+    def bwd(jj, carry):
+        yh, yl = carry
+        j = n - 1 - jj
+        Lcol_h = lax.dynamic_slice(Lh, (0, 0, j), (Bk, n, 1))[:, :, 0]
+        Lcol_l = lax.dynamic_slice(Ll, (0, 0, j), (Bk, n, 1))[:, :, 0]
+        mask = (idx > j)[None, :]
+        ph, pe = df64.dd_mul((jnp.where(mask, Lcol_h, 0.0),
+                              jnp.where(mask, Lcol_l, 0.0)), (yh, yl))
+        ah, al = df64.dd_tree_sum((ph, pe), axis=1)
+        rbh = lax.dynamic_slice(bh, (0, j), (Bk, 1))[:, 0]
+        rbl = lax.dynamic_slice(bl, (0, j), (Bk, 1))[:, 0]
+        rh, rl = df64.dd_sub((rbh, rbl), (ah, al))
+        piv_h = lax.dynamic_slice(Lh, (0, j, j), (Bk, 1, 1))[:, 0, 0]
+        piv_l = lax.dynamic_slice(Ll, (0, j, j), (Bk, 1, 1))[:, 0, 0]
+        qh, ql = df64.dd_div((rh, rl), (piv_h, piv_l))
+        return (yh.at[:, j].set(qh), yl.at[:, j].set(ql))
+
+    Z = jnp.zeros_like(bh)
+    if transpose:
+        return lax.fori_loop(0, n, bwd, (Z, Z))
+    return lax.fori_loop(0, n, fwd, (Z, Z))
+
+
+def dd_syrk_sub(Ch, Cl, Uh, Ul):
+    """C - U U^T in dd (batched): U (Bk, m, n), C (Bk, m, m)."""
+    ph, pe = df64.dd_mul((Uh[:, :, None, :], Ul[:, :, None, :]),
+                         (Uh[:, None, :, :], Ul[:, None, :, :]))
+    sh, sl = df64.dd_tree_sum((ph, pe), axis=3)
+    return df64.dd_sub((Ch, Cl), (sh, sl))

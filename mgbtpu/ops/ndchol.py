@@ -136,7 +136,10 @@ def _assemble_dense(plan: NDPlan, He: np.ndarray, jitter: float):
     H = np.zeros((n, n))
     for e in range(N):
         c = plan.cols[e]
-        H[np.ix_(c, c)] += He[e]
+        # np.add.at, NOT fancy += : ``cols`` may contain duplicate (padded)
+        # entries, and buffered fancy assignment keeps only one write per
+        # cell — silently dropping the real slot's contribution
+        np.add.at(H, (c[:, None], c[None, :]), He[e])
     return H + jitter * np.eye(n)
 
 
@@ -275,6 +278,58 @@ class NDDevicePlan:
         flat_dofs = plan.cols.reshape(-1)
         self.leaf_loc = slot_of(0, flat_nodes, flat_dofs).reshape(N, C)
         self.leaf_of_elem = le
+        # GATHER-form leaf assembly (the dd factorization path): per leaf,
+        # the member-element list and the inverse of leaf_loc (front slot ->
+        # element-local column). Scatter-add assembly rounds the hi words at
+        # eps(f32), a perturbation far above lambda_min ~ 1/t of the deep-t
+        # equilibrated Hessian — the dd Cholesky then breaks down for any
+        # shift below that noise (measured: non-finite at shift <= 1e-9
+        # while the true lambda_min is 1.7e-10). Gather + dd tree-sum is
+        # exact. Duplicate padded columns in ``cols`` carry zero panels, so
+        # first-write-wins collisions at a slot are harmless.
+        nk0 = self.levels[0]["nk"]
+        f0 = self.levels[0]["amax"] + self.levels[0]["bmax"]
+        cnt = np.bincount(le, minlength=nk0)
+        m_max = max(int(cnt.max()) if len(cnt) else 1, 1)
+        order = np.argsort(le, kind="stable")
+        start = np.zeros(nk0 + 1, dtype=np.int64)
+        np.cumsum(cnt, out=start[1:])
+        member = np.arange(N) - start[le[order]]
+        self.elems_of_leaf = np.full((nk0, m_max), N, dtype=np.int64)
+        self.elems_of_leaf[le[order], member] = order
+        self.leaf_loc_inv = np.full((nk0, m_max, f0 + 1), C, dtype=np.int64)
+        mem_of_elem = np.empty(N, dtype=np.int64)
+        mem_of_elem[order] = member
+        # write slots in REVERSE so the FIRST occurrence wins: ``cols`` pads
+        # by repeating the last real column, so its duplicates are (real
+        # slot K, zero-panel pads K+1..). Keeping a pad slot instead drops
+        # the element's entire contribution at that dof — measured as a
+        # fake null direction (true curvature 1.0, factor pivot = shift,
+        # 1/shift amplification) that wrecked the corrector.
+        rev = np.arange(C)[::-1]
+        self.leaf_loc_inv[np.repeat(le, C), np.repeat(mem_of_elem, C),
+                          self.leaf_loc[:, rev].reshape(-1)] = np.tile(rev, N)
+        # per-level inverse incidence of the boundary scatter (dd solve
+        # path): for each dof, the flat (node*bmax + slot) positions whose
+        # forward-elimination update lands on it. Same eps(f32) story as
+        # above, applied to the triangular solve: a plain hi/lo scatter-add
+        # gives the *application* a backward error ~ eps(f32), i.e. a
+        # preconditioned kappa ~ eps32 * t — useless at deep t.
+        self.b_inc = []
+        for L in self.levels:
+            nk, bmax = L["nk"], L["bmax"]
+            bd = L["bdofs"].reshape(-1)
+            real = bd < n
+            pos = np.flatnonzero(real)
+            dofs = bd[real]
+            kb = np.bincount(dofs, minlength=n)
+            Kb = max(int(kb.max()) if len(kb) else 1, 1)
+            inc = np.full((n + 1, Kb), nk * bmax, dtype=np.int64)
+            o = np.argsort(dofs, kind="stable")
+            st = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(kb, out=st[1:])
+            inc[dofs[o], np.arange(len(o)) - st[dofs[o]]] = pos[o]
+            self.b_inc.append(inc)
         # child-boundary -> parent-front maps, BOTH directions: cmap for
         # reference/tests, inverse (gather) maps for the device assembly
         self.child_maps = []
@@ -322,6 +377,9 @@ class NDDevicePlan:
                      parent_gather=tuple(
                          (to_dev(a, np.int32), to_dev(b, np.int32))
                          for a, b in self.parent_gather),
+                     elems_of_leaf=to_dev(self.elems_of_leaf, np.int32),
+                     leaf_loc_inv=to_dev(self.leaf_loc_inv, np.int32),
+                     b_inc=tuple(to_dev(m, np.int32) for m in self.b_inc),
                      depth=self.depth, n_J=self.n_J)
 
 
@@ -348,6 +406,9 @@ class NDDev:
     child_maps: tuple
     parent_gather: tuple   # per internal level: (invL, invR) parent-slot ->
                            # child-b-slot maps (miss -> bmax_child)
+    elems_of_leaf: jnp.ndarray   # (nk0, m_max) element ids (N = pad)
+    leaf_loc_inv: jnp.ndarray    # (nk0, m_max, f0+1) front slot -> elem col
+    b_inc: tuple                 # per level: (n_J+1, Kb) flat b-positions
     depth: int
     n_J: int
 
@@ -472,3 +533,131 @@ def nd_solve_ref(plan: NDPlan, fact, rhs: np.ndarray):
                 t = ys[(k, i)] - U.T @ x[B_d]
                 x[A_d] = np.linalg.solve(L_A.T, t)
     return x
+
+
+# ---------------------------------------------------------------------------
+# double-float factorization (ops/ddlinalg.py): resolves the equilibrated
+# spectrum to ~2^-48 * kappa, so deep-t Newton directions come from a
+# direct solve + one dd refinement instead of a shift-limited CG (which
+# degenerated to 1000-2800 its/step at t >= 8e5)
+# ---------------------------------------------------------------------------
+
+def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
+    """Multifrontal factorization with dd fronts. ``He`` is a dd pair of
+    (N, C, C) element blocks. Returns per-level ((Lh, Ll), (Uh, Ul)).
+
+    EVERY assembly step is exact in dd — gather-form leaf assembly
+    (``NDDevicePlan.elems_of_leaf``/``leaf_loc_inv``), ``dd_add`` of the
+    sibling Schur complements, ``dd_add`` of the diagonal shift. Plain
+    hi/lo scatter-adds round the hi words at eps(f32), which exceeds
+    lambda_min ~ 1/t of the deep-t equilibrated Hessian and makes the
+    assembled fronts indefinite at any useful shift (measured: breakdown
+    for shift <= 1e-9 with true lambda_min = 1.7e-10)."""
+    from . import df64
+    from .ddlinalg import dd_cholesky, dd_syrk_sub, dd_tri_solve_right
+
+    fact = []
+    S_prev = None
+    for li, L in enumerate(dp.levels):
+        amax, bmax, nk = L.amax, L.bmax, L.nk
+        f = amax + bmax
+        if li == 0:
+            eh = jnp.pad(Heh, ((0, 1), (0, 1), (0, 1)))
+            el = jnp.pad(Hel, ((0, 1), (0, 1), (0, 1)))
+            ee = dp.elems_of_leaf[:, :, None, None]
+            la = dp.leaf_loc_inv[:, :, :, None]
+            lb = dp.leaf_loc_inv[:, :, None, :]
+            Fh, Fl = df64.dd_tree_sum((eh[ee, la, lb], el[ee, la, lb]),
+                                      axis=1)
+        else:
+            invL, invR = dp.parent_gather[li - 1]
+            Sh = jnp.pad(S_prev[0], ((0, 0), (0, 1), (0, 1)))
+            Sl = jnp.pad(S_prev[1], ((0, 0), (0, 1), (0, 1)))
+            ii = jnp.arange(nk)[:, None, None]
+            Fh, Fl = df64.dd_add(
+                (Sh[0::2][ii, invL[:, :, None], invL[:, None, :]],
+                 Sl[0::2][ii, invL[:, :, None], invL[:, None, :]]),
+                (Sh[1::2][ii, invR[:, :, None], invR[:, None, :]],
+                 Sl[1::2][ii, invR[:, :, None], invR[:, None, :]]))
+        apad = (L.adofs >= dp.n_J)
+        bpad = (L.bdofs >= dp.n_J)
+        ii2 = jnp.arange(amax)
+        jjb = amax + jnp.arange(bmax)
+        if jnp.ndim(diag_shift) == 1:
+            # per-dof shift (n_J + 1,): unit pivots for structurally empty
+            # dofs (zero Hessian row, e.g. constrained boundary dofs) so a
+            # deep shift doesn't turn them into 1/shift amplifiers
+            sh_a = diag_shift[jnp.minimum(L.adofs, dp.n_J)]
+        else:
+            sh_a = jnp.broadcast_to(jnp.asarray(diag_shift, Heh.dtype),
+                                    L.adofs.shape)
+        dsh = jnp.concatenate(
+            [jnp.where(apad, 1.0, sh_a).astype(Heh.dtype),
+             jnp.where(bpad, 1.0, 0.0).astype(Heh.dtype)], axis=1)
+        jj = jnp.concatenate([ii2, jjb])
+        dh, dl = df64.dd_add((Fh[:, jj, jj], Fl[:, jj, jj]),
+                             (dsh, jnp.zeros_like(dsh)))
+        Fh = Fh.at[:, jj, jj].set(dh)
+        Fl = Fl.at[:, jj, jj].set(dl)
+        Ah, Al = Fh[:, :amax, :amax], Fl[:, :amax, :amax]
+        Bh, Bl = Fh[:, amax:amax + bmax, :amax], Fl[:, amax:amax + bmax, :amax]
+        Ch, Cl = (Fh[:, amax:amax + bmax, amax:amax + bmax],
+                  Fl[:, amax:amax + bmax, amax:amax + bmax])
+        Lf = dd_cholesky(Ah, Al)
+        U = dd_tri_solve_right(Lf[0], Lf[1], Bh, Bl)
+        S_prev = dd_syrk_sub(Ch, Cl, U[0], U[1])
+        fact.append((Lf, U))
+    return tuple(fact)
+
+
+def nd_solve_dd(dp: "NDDev", fact, rh, rl=None):
+    """Solve with dd factors and a dd rhs pair; returns the dd pair.
+
+    The forward-elimination updates land on shared separator dofs through
+    the inverse-incidence gather (``NDDevicePlan.b_inc``) + dd tree-sum +
+    ``dd_sub`` — a hi/lo scatter-add would give the application a backward
+    error ~ eps(f32), i.e. a preconditioned kappa ~ eps32 * t."""
+    from . import df64
+    from .ddlinalg import dd_tri_solve_left
+
+    if rl is None:
+        rl = jnp.zeros_like(rh)
+    rh = jnp.concatenate([rh, jnp.zeros((1,), rh.dtype)])
+    rl = jnp.concatenate([rl, jnp.zeros((1,), rl.dtype)])
+    ys = []
+    for li, L in enumerate(dp.levels):
+        (Lh, Ll), (Uh, Ul) = fact[li]
+        yA = dd_tri_solve_left(Lh, Ll, rh[L.adofs], rl[L.adofs])
+        ys.append(yA)
+        ph, pe = df64.dd_mul((Uh, Ul), (yA[0][:, None, :], yA[1][:, None, :]))
+        uh, ul = df64.dd_tree_sum((ph, pe), axis=2)
+        uh = jnp.pad(uh.reshape(-1), (0, 1))
+        ul = jnp.pad(ul.reshape(-1), (0, 1))
+        inc = dp.b_inc[li]
+        sh, sl = df64.dd_tree_sum((uh[inc], ul[inc]), axis=1)
+        rh, rl = df64.dd_sub((rh, rl), (sh, sl))
+    xh = jnp.zeros_like(rh)
+    xl = jnp.zeros_like(rl)
+    for li in range(len(dp.levels) - 1, -1, -1):
+        L = dp.levels[li]
+        (Lh, Ll), (Uh, Ul) = fact[li]
+        xB = (xh[L.bdofs], xl[L.bdofs])
+        ph, pe = df64.dd_mul((jnp.swapaxes(Uh, 1, 2), jnp.swapaxes(Ul, 1, 2)),
+                             (xB[0][:, None, :], xB[1][:, None, :]))
+        th, tl = df64.dd_tree_sum((ph, pe), axis=2)
+        th, tl = df64.dd_sub(ys[li], (th, tl))
+        xA = dd_tri_solve_left(Lh, Ll, th, tl, transpose=True)
+        ok = L.adofs < dp.n_J
+        xh = xh.at[L.adofs].set(jnp.where(ok, xA[0], 0.0))
+        xl = xl.at[L.adofs].set(jnp.where(ok, xA[1], 0.0))
+    return xh[:-1], xl[:-1]
+
+
+def nd_finite_dd(fact):
+    flags = []
+    for (Lh, Ll), (Uh, Ul) in fact:
+        flags.append(jnp.all(jnp.isfinite(Lh)) & jnp.all(jnp.isfinite(Uh)))
+    out = flags[0]
+    for f in flags[1:]:
+        out = out & f
+    return out

@@ -486,3 +486,39 @@ def _vector_slots(cols, counts, e, c):
     q = e * max_col + c
     idx = np.searchsorted(keys, q)
     return pos_in_e[idx]
+
+
+def gram_element_blocks_dd(ops: PanelOps, Ydd, col_scale=None):
+    """Per-element Hessian blocks He = P^T Y P in DOUBLE-FLOAT from the dd
+    node blocks (the input of the dd multifrontal factorization): the f32
+    Gram-factor blocks lose exactly the lambda_min ~ 1/t information the
+    deep-t factorization needs. Returns a dd pair of (N, C, C).
+
+    The equilibration scale enters through the f32 panels (a relative
+    perturbation, harmless); all products against Y and the reductions are
+    error-free/dd."""
+    from ..ops import df64
+
+    Yh = Ydd.hi.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    Yl = Ydd.lo.reshape(ops.N, ops.p, ops.nD, ops.nD)
+    Pd = ops.panels                                   # (nD, N, p, C)
+    if col_scale is not None:
+        Pd = Pd * col_scale[ops.cols][None, :, None, :]
+    Heh = None
+    for q in range(ops.p):                            # static, small
+        Pq = Pd[:, :, q, :]                           # (nD, N, C)
+        # W[e, i, d] = sum_j Y[e, q, i, j] P[j, e, d]   (dd)
+        ph, pe = df64.two_prod(Yh[:, q, :, :, None],
+                               Pq.transpose(1, 0, 2)[:, None, :, :])
+        pe = pe + Yl[:, q, :, :, None] * Pq.transpose(1, 0, 2)[:, None, :, :]
+        Wh, Wl = df64.dd_tree_sum((ph, pe), axis=2)   # (N, i, d)
+        # He_q[e, c, d] = sum_i P[i, e, c] W[e, i, d]   (dd)
+        rh, re = df64.two_prod(Pq.transpose(1, 0, 2)[:, :, :, None],
+                               Wh[:, :, None, :])
+        re = re + Pq.transpose(1, 0, 2)[:, :, :, None] * Wl[:, :, None, :]
+        qh, ql = df64.dd_tree_sum((rh, re), axis=1)   # (N, C, C)
+        if Heh is None:
+            Heh, Hel = qh, ql
+        else:
+            Heh, Hel = df64.dd_add((Heh, Hel), (qh, ql))
+    return Heh, Hel

@@ -162,8 +162,14 @@ class ProblemKernels:
     # uses at most MAX_VCYCLE levels (transfer chains are composed host-side
     # to skip intermediates): every extra level unrolls into the Newton jit
     # and TPU remote-compile time grows superlinearly with program size.
-    DENSE_MAX = int(__import__("os").environ.get("MGBTPU_DENSE_MAX", 6144))
-    DENSE_BASE = int(__import__("os").environ.get("MGBTPU_DENSE_BASE", 3072))
+    # DENSE_MAX default 2048 (was 6144): with the dd nested-dissection
+    # direct factors + per-iteration refresh, ND beats the frozen dense
+    # path decisively above ~2k dofs — measured on CPU at fem2d_P2 L=5
+    # (top 5057): 164s/101 its/155 CG as ND vs 800-980s/14k-26k CG dense.
+    # Small tops stay dense (L=4 top 1345: 43s dense vs 83s ND — the
+    # per-iteration rolled-loop refactorization dominates at small n).
+    DENSE_MAX = int(__import__("os").environ.get("MGBTPU_DENSE_MAX", 2048))
+    DENSE_BASE = int(__import__("os").environ.get("MGBTPU_DENSE_BASE", 2048))
     MAX_VCYCLE = int(__import__("os").environ.get("MGBTPU_MAX_VCYCLE", 3))
     # nested-dissection leaf size (elements per leaf front)
     ND_LEAF_ELEMS = int(__import__("os").environ.get("MGBTPU_ND_LEAF", 16))
@@ -181,7 +187,11 @@ class ProblemKernels:
         if l in self._ops_solve:
             return self._ops_solve[l]
         base = self._plain_ops(l)
-        if base.n_J <= self.DENSE_MAX:
+        if base.n_J <= self.DENSE_MAX or base.N < 4:
+            # few-big-elements discretizations (spectral: N=1) have no
+            # useful element partition for nested dissection — their "ND"
+            # factor degenerates to a rolled dense Cholesky; keep the
+            # batched dense path regardless of size
             self._ops_solve[l] = base
             return base
         import dataclasses

@@ -205,6 +205,21 @@ def _refresh_allowed(H):
     if H.ctx is None:
         return H.ops.n_J <= PRE_REFRESH_MAXN
     return True   # PCG pre rebuilds are coarse-level work only
+
+
+def _always_refresh(H):
+    """Refresh the preconditioner EVERY Newton iteration: the dd nested-
+    dissection factor is direct-solve quality when fresh (measured
+    contraction 1.3e-4 at a captured deep-t state, CG exits in ~2 its) but
+    the near-null subspace of the equilibrated Hessian rotates along the
+    path, so even one stale step degrades it to hundreds of CG its at deep
+    t. The O(n^1.5) refactorization is far cheaper than the stale-pre CG
+    bill (measured at L=3: 13k CG its frozen vs ~4/solve fresh)."""
+    from .levelops import GramHessian
+
+    return (isinstance(H, GramHessian)
+            and getattr(H.ctx, "nd", None) is not None
+            and H.Ydd is not None and ND_DD)
 # V-cycle smoother: "cheby" (Chebyshev polynomial on D^-1 H, degree
 # MGBTPU_CHEB_DEG) or "jacobi" (one damped sweep, omega=0.7)
 SMOOTHER = _os.environ.get("MGBTPU_SMOOTHER", "cheby")
@@ -289,18 +304,30 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
     if pre is None:
         pre = make_nd_pre(H) if getattr(H.ctx, "nd", None) is not None \
             else make_dense_pre(H)
+    null = None
     if isinstance(pre[0], tuple):
         # nested-dissection direct factors (ops/ndchol.py): pre =
-        # (fact_tuple, dinv). No tag string: the pre pytree flows through
-        # lax.cond refresh carries, so the two shapes are told apart by
-        # structure.
-        from ..ops.ndchol import nd_solve
+        # (fact_tuple, dinv) or (fact_tuple, dinv, nullmask) for dd
+        # factors. No tag string: the pre pytree flows through lax.cond
+        # refresh carries, so the shapes are told apart by structure (dd
+        # factors nest one tuple level deeper).
+        from ..ops.ndchol import nd_solve, nd_solve_dd
 
-        fact, dinv = pre
+        fact, dinv = pre[0], pre[1]
+        null = pre[2] if len(pre) > 2 else None
         ndp = H.ctx.nd
-
-        def apply_pre(r):
-            return nd_solve(ndp, fact, r)
+        if isinstance(fact[0][0], tuple):
+            def apply_pre(r):
+                # mask the structurally-null dofs (unit pivots in the
+                # factor; see make_nd_pre): their residual is
+                # inconsistent (zero H row, nonzero g) and must not
+                # enter the corrector
+                rm = jnp.where(null, 0.0, r)
+                xh, xl = nd_solve_dd(ndp, fact, rm)
+                return jnp.where(null, 0.0, xh + xl)
+        else:
+            def apply_pre(r):
+                return nd_solve(ndp, fact, r)
     else:
         Minv, dinv = pre
 
@@ -333,6 +360,8 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
         # The raw H spans ~t^2 orders of magnitude near the reference
         # tolerance; on the unit-diagonal scale everything is O(1).
         rs = dinv * r0
+        if null is not None:
+            rs = jnp.where(null, 0.0, rs)
         z0 = apply_pre(rs)
         tol2 = rtol * rtol * ddot(rs, rs)
 
@@ -364,7 +393,12 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
     # replaces a fixed unrolled outer count — each skipped outer saves a
     # full corrector solve.
     zeros = jnp.zeros_like(g_pair[0])
-    gnorm = jnp.sqrt(ddot(g_pair[0], g_pair[0]))
+    # the stop metric is the EQUILIBRATED residual |D r|: the raw residual
+    # has an f32-representation floor ~ |H| |delta| eps(f32) that exceeds
+    # any useful raw tau at deep t (H spans ~t^2 orders of magnitude), so a
+    # raw-norm test burns every outer budget without measuring anything
+    gq = dinv * (g_pair[0] + g_pair[1])
+    gnorm = jnp.sqrt(ddot(gq, gq))
     tau = jnp.asarray(IR_TAU, dtype) * rtol * jnp.maximum(gnorm, 1e-30)
 
     def ocond(c):
@@ -374,6 +408,9 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
     def obody(c):
         xh, xl, r, rnorm, ko, kcg = c
         delta, k_in = inner(r)
+        if _os.environ.get("MGBTPU_IR_DEBUG"):  # pragma: no cover
+            jax.debug.print("    ir outer {o}: k_in={k} rnorm={rn}",
+                            o=ko, k=k_in, rn=rnorm)
         xh, xl = df64.dd_add((xh, xl), (delta, zeros))
         if plain64:
             hx = (gram_matvec(H.ops, H.Lnode, xh), jnp.zeros_like(xh))
@@ -383,9 +420,17 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
         rh, rl = df64.dd_sub(g_pair, hx)
         rh, rl = df64.dd_sub((rh, rl), (hx_lo, zeros))
         r = rh + rl
-        return (xh, xl, r, jnp.sqrt(ddot(r, r)), ko + 1, kcg + k_in)
+        if null is not None:
+            # structurally-null dofs: zero H row, nonzero g — the residual
+            # there never decreases and must not gate the outer stop
+            r = jnp.where(null, 0.0, r)
+        rq = dinv * r
+        return (xh, xl, r, jnp.sqrt(ddot(rq, rq)), ko + 1, kcg + k_in)
 
-    init = (zeros, zeros, g_pair[0] + g_pair[1], jnp.asarray(jnp.inf, dtype),
+    r_init = g_pair[0] + g_pair[1]
+    if null is not None:
+        r_init = jnp.where(null, 0.0, r_init)
+    init = (zeros, zeros, r_init, jnp.asarray(jnp.inf, dtype),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
     xh, xl, _, _, _, kcg = lax.while_loop(ocond, obody, init)
     x = xh + xl
@@ -436,22 +481,68 @@ def _tree_finite(t):
     return out
 
 
+# Double-float nested-dissection factors on the dd path (default on;
+# MGBTPU_ND_DD=0 falls back to f32 factors). The f32 factor's 2-eps(f32)
+# shift swamps lambda_min ~ 1/t of the equilibrated Hessian at deep t and
+# CG degenerates (measured: 993-2791 CG its/ramp-step at t >= 8e5, ~75% of
+# all linear-solve work at L=6). The dd factor with exact dd assembly
+# resolves the same systems to ~6e-6 in ONE application (measured at a
+# captured deep-t state, kappa_eq = 2e10), so the corrector exits in 1-2
+# iterations at every ramp depth.
+ND_DD = _os.environ.get("MGBTPU_ND_DD", "1") != "0"
+ND_DD_SHIFT = float(_os.environ.get("MGBTPU_ND_DD_SHIFT", 2.0 ** -46))
+
+
 def make_nd_pre(H):
     """Nested-dissection direct factorization of the equilibrated Gram
-    Hessian: 2-eps shift, 32-eps lax.cond fallback when a pivot block goes
-    non-finite (same ladder as the dense path). The factor is exact up to
+    Hessian. dd path: double-float fronts with a 2^-46 per-dof shift (unit
+    pivots for structurally empty dofs) and a 2^-24 non-finite fallback —
+    direct-solve quality at every ramp depth. f64/x64 (or ND_DD=0) path:
+    f32 factors with the 2-eps/32-eps ladder. The factor is exact up to
     the shift, so the near-null barrier spectrum that defeats every
     smoother/coarse-space combination (ops/ndchol.py docstring) is handled
     like the dense path handles it."""
     import numpy as _np
 
-    from ..ops.ndchol import nd_factor, nd_finite
-    from .levelops import gram_diag, gram_element_blocks
+    from ..ops.ndchol import nd_factor, nd_factor_dd, nd_finite, nd_finite_dd
+    from .levelops import gram_diag, gram_element_blocks, \
+        gram_element_blocks_dd
 
     ops = H.ops
     ndp = H.ctx.nd
     d = gram_diag(ops, H.Lnode)
     dinv = jnp.where(d > 0, jax.lax.rsqrt(d), 1.0)
+    if H.Ydd is not None and ND_DD:
+        dtype = H.Lnode.dtype
+        Heh, Hel = gram_element_blocks_dd(ops, H.Ydd, dinv)
+        # Structurally-null dofs. The equilibration diag (gram_diag) comes
+        # from the JITTERED per-node factors (barrier.node_factors adds
+        # ~8 eps |Y| I so f32 Cholesky succeeds), but He_dd comes from the
+        # TRUE dd blocks — a panel direction in the exact null space of a
+        # huge-scale node block has jittered diag ~ eps |Y| |P|^2 but true
+        # diag 0. A sigma-pivot there amplifies its (structurally
+        # inconsistent: g != 0, H row = 0) residual by 1/sigma ~ 7e13 and
+        # the corrector diverges (measured). Unit pivots + masking
+        # decouple them cleanly: their H column is zero too, so zeroing
+        # their direction component changes nothing the curved subspace
+        # sees. Threshold: the f32 jitter floor of the equilibrated diag.
+        dg = jnp.diagonal(Heh, axis1=1, axis2=2)           # (N, C)
+        ddiag = jnp.zeros((ops.n_J,), dtype).at[ops.cols].add(dg)
+        null = (d <= 0) | (ddiag < 2.0 ** -17)
+
+        def shv(s):
+            v = jnp.where(null, jnp.asarray(1.0, dtype),
+                          jnp.asarray(s, dtype))
+            return jnp.concatenate([v, jnp.ones((1,), dtype)])
+
+        fact = nd_factor_dd(ndp, Heh, Hel, shv(ND_DD_SHIFT))
+        if _os.environ.get("MGBTPU_IR_DEBUG"):  # pragma: no cover
+            jax.debug.print("  nd_pre: primary_finite={f} n_null={n}",
+                            f=nd_finite_dd(fact), n=null.sum())
+        fact = lax.cond(nd_finite_dd(fact),
+                        lambda f=fact: f,
+                        lambda: nd_factor_dd(ndp, Heh, Hel, shv(2.0 ** -24)))
+        return (fact, dinv, null)
     He = gram_element_blocks(ops, H.Lnode, dinv)
     eps = float(_np.finfo(H.Lnode.dtype).eps)
     fact = nd_factor(ndp, He, 2 * eps)
@@ -950,7 +1041,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         H0 = f2(x0, *fargs)
         pre0 = make_pre(H0)
         carry_pre = (PRE_REFRESH == "auto" and pre0 is not None
-                     and _refresh_allowed(H0))
+                     and _refresh_allowed(H0) and not _always_refresh(H0))
 
         def cond(carry):
             (x, y, g, ymin, gmin, k, status, lam_prev, cg), _pc = carry
@@ -970,7 +1061,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
                          & (lambda_tol >= 0)
                          & (lam_prev > 8.0 * lambda_tol))
             rtol_k = jnp.where(use_loose, RTOL_LOOSE, tight_rtol).astype(dtype)
-            if PRE_REFRESH == "1":
+            if PRE_REFRESH == "1" or _always_refresh(H):
                 pre_k = make_pre(H)
             elif carry_pre:
                 pre_prev, cg_last = _pc
@@ -980,6 +1071,23 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
                 pre_k = pre0
             n_dir, k_cg = solve(H, g, pre_k, rtol_k)
             inc = G.dot(g, n_dir)
+            if _os.environ.get("MGBTPU_IR_DEBUG"):  # pragma: no cover
+                jax.debug.print(
+                    "newton it {k}: cg={c} inc={i} loose={lo}",
+                    k=k, c=k_cg, i=inc, lo=use_loose)
+            if _os.environ.get("MGBTPU_IR_DUMP"):  # pragma: no cover
+                def _dump(xv, dzh, dzl, wcv, kcgv):
+                    import numpy as _n
+                    if int(kcgv) > 250:
+                        import time as _t
+                        _n.savez(f"/tmp/heavy_{int(_t.time()*1e6) % 10**9}"
+                                 f"_{int(kcgv)}.npz", x=xv, dzh=dzh, dzl=dzl,
+                                 wc=wcv)
+                from ..ops.ddarray import DD as _DDx
+                _dz = fargs[1]
+                _dzh, _dzl = (_dz.hi, _dz.lo) if isinstance(_dz, _DDx) \
+                    else (_dz, _dz)
+                jax.debug.callback(_dump, x, _dzh, _dzl, fargs[2], k_cg)
             if not dd and not isinstance(H, GramHessian):
                 # lambda^2 <= 0 away from the objective roundoff floor: the
                 # Hessian solve failed (iterate pinned to the barrier wall).

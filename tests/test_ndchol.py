@@ -109,3 +109,55 @@ def test_newton_cg_counts_bounded_deep_t(monkeypatch):
     ks = list(counts.values())
     assert max(ks) <= 3 * max(min(ks), 1) + 20, counts
     assert max(ks) < 60, counts
+
+
+def test_nd_dd_factor_is_direct_grade():
+    """dd factorization solves to far beyond f32-factor accuracy: rel err
+    ~ eps_dd * kappa, not eps_f32 * kappa (the late-ramp CG explosion was
+    the f32 factor's 2-eps shift swamping lambda_min ~ 1/t)."""
+    from mgbtpu.ops.ndchol import nd_factor_dd, nd_solve_dd
+
+    cols, n, xy, He = _grid_case(13, 7, seed=5)
+    plan = NDPlan(cols, n, xy, leaf_elems=3)
+    dp = NDDevicePlan(plan).to_device()
+    rng = np.random.default_rng(3)
+    rhs = rng.standard_normal(n)
+    Heh = jnp.asarray(He, jnp.float32)
+    Hel = jnp.asarray(He - np.asarray(Heh, np.float64), jnp.float32)
+    fact = nd_factor_dd(dp, Heh, Hel, 2.0 ** -46)
+    xh, xl = nd_solve_dd(dp, fact, jnp.asarray(rhs, jnp.float32),
+                         jnp.asarray(rhs - np.asarray(
+                             jnp.asarray(rhs, jnp.float32), np.float64),
+                             jnp.float32))
+    x = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    x0 = np.linalg.solve(_assemble_dense(plan, He, 0.0), rhs)
+    rel = np.abs(x - x0).max() / np.abs(x0).max()
+    assert rel <= 1e-8, rel    # f32-grade factors land at ~1e-4 here
+
+
+def test_nd_dd_duplicate_padded_columns():
+    """``cols`` pads by repeating the last real column; the real panel data
+    sits on the FIRST occurrence. The gather-form dd leaf assembly must
+    keep that slot — keeping a pad slot instead silently drops the
+    element's contribution at that dof (measured in production as a fake
+    null direction with 1/shift = 7e13 preconditioner amplification)."""
+    from mgbtpu.ops.ndchol import nd_factor_dd, nd_solve_dd
+
+    cols, n, xy, He = _grid_case(6, 6, seed=7)
+    N = len(cols)
+    # pad every element to C=5 by repeating its last column; zero blocks on
+    # pad slots (production layout: duplicate slots carry zero panels)
+    cols5 = np.concatenate([cols, cols[:, 2:3], cols[:, 2:3]], axis=1)
+    He5 = np.zeros((N, 5, 5))
+    He5[:, :3, :3] = He
+    plan = NDPlan(cols5, n, xy, leaf_elems=3)
+    dp = NDDevicePlan(plan).to_device()
+    rng = np.random.default_rng(8)
+    rhs = rng.standard_normal(n)
+    fact = nd_factor_dd(dp, jnp.asarray(He5, jnp.float32),
+                        jnp.zeros((N, 5, 5), jnp.float32), 2.0 ** -40)
+    xh, xl = nd_solve_dd(dp, fact, jnp.asarray(rhs, jnp.float32))
+    x = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    x0 = np.linalg.solve(_assemble_dense(plan, He5, 0.0), rhs)
+    rel = np.abs(x - x0).max() / np.abs(x0).max()
+    assert rel <= 1e-5, rel    # dropping dup contributions gives O(1) error
