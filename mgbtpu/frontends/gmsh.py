@@ -16,10 +16,16 @@ Family selection (single element type required):
     4/9-node quads     -> fem2d, order 1/2 (non-planar -> embedded surface)
     8/27-node hexes    -> fem3d, order 1/2
 
+High-order (order >= 3) full-Lagrange tensor elements are supported at
+every order Gmsh defines (quads to order 10, hexes to order 9): Gmsh
+stores equispaced nodes, which are resampled exactly onto the
+Chebyshev-Lobatto reference lattice via 1D Lagrange evaluation — the same
+resampling the reference performs with getJacobians
+(ext/MultiGridBarrierGmshExt, high-order handling).
+
 Rejected with actionable messages: serendipity elements (8-node quads,
-20-node hexes), P3+ triangles, tetrahedra, prisms, pyramids, order >= 3
-tensor elements (Gmsh uses equispaced high-order nodes; resampling onto
-Chebyshev nodes is not implemented in the file-parser path), mixed meshes.
+20-node hexes, incomplete high-order types), P3+ triangles, tetrahedra,
+prisms, pyramids, mixed meshes.
 """
 from __future__ import annotations
 
@@ -35,11 +41,17 @@ _TYPES = {
     4: ("tet4", 4, 3), 11: ("tet10", 10, 3),
     5: ("hex8", 8, 3), 12: ("hex27", 27, 3), 17: ("hex20", 20, 3),
     6: ("prism6", 6, 3), 7: ("pyr5", 5, 3),
-    26: ("line4", 4, 1),
-    # high-order tensor elements (full Lagrange): quad (k+1)^2, hex (k+1)^3
+    # high-order tensor elements (full Lagrange): quad (k+1)^2, hex (k+1)^3,
+    # line k+1 — every order gmsh defines (GmshDefines.h type numbers)
+    26: ("line4", 4, 1), 27: ("line5", 5, 1), 28: ("line6", 6, 1),
+    62: ("line7", 7, 1), 63: ("line8", 8, 1), 64: ("line9", 9, 1),
+    65: ("line10", 10, 1), 66: ("line11", 11, 1),
     36: ("quad16", 16, 2), 37: ("quad25", 25, 2), 38: ("quad36", 36, 2),
-    47: ("quad49", 49, 2),
-    92: ("hex64", 64, 3), 93: ("hex125", 125, 3),
+    47: ("quad49", 49, 2), 48: ("quad64", 64, 2), 49: ("quad81", 81, 2),
+    50: ("quad100", 100, 2), 51: ("quad121", 121, 2),
+    92: ("hex64", 64, 3), 93: ("hex125", 125, 3), 94: ("hex216", 216, 3),
+    95: ("hex343", 343, 3), 96: ("hex512", 512, 3), 97: ("hex729", 729, 3),
+    98: ("hex1000", 1000, 3),
 }
 
 _REJECT = {

@@ -186,6 +186,54 @@ def test_quad16_highorder_import(tmp_path):
     assert abs(float(geom.w @ got) - (8 + 2.0 / 3.0)) < 1e-9
 
 
+def test_quad64_order7_import(tmp_path):
+    """Order-7 quads (gmsh type 48): the any-order tensor path — node-order
+    table and Chebyshev resampling are generated for arbitrary k, matching
+    the reference's any-order getJacobians resampling
+    (ext/MultiGridBarrierGmshExt)."""
+    import numpy as np
+    from mgbtpu.frontends.gmsh import _gmsh_quad_coords, gmsh_import
+
+    k = 7
+    coords = _gmsh_quad_coords(k)
+    tag_of = {}
+
+    def node_tag(pos):
+        if pos not in tag_of:
+            tag_of[pos] = len(tag_of) + 1
+        return tag_of[pos]
+
+    elems = []
+    for ox in (0, 1):
+        conn = [node_tag((k * ox + i, j)) for (i, j) in coords]
+        elems.append(conn)
+    lines = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat", "$Nodes",
+             str(len(tag_of))]
+    for pos, tg in sorted(tag_of.items(), key=lambda kv: kv[1]):
+        lines.append(f"{tg} {pos[0]/k:.17g} {pos[1]/k:.17g} 0")
+    lines += ["$EndNodes", "$Elements", str(len(elems))]
+    for e, conn in enumerate(elems):
+        lines.append(f"{e+1} 48 2 0 1 " + " ".join(map(str, conn)))
+    lines += ["$EndElements"]
+    path = tmp_path / "quad64.msh"
+    path.write_text("\n".join(lines) + "\n")
+
+    out = gmsh_import(str(path))
+    geom = out.geometry
+    assert geom.x.shape[0] == 64 and geom.x.shape[1] == 2
+    # conforming shared edge: k+1 shared node ids
+    t0 = set(geom.t[:, 0]); t1 = set(geom.t[:, 1])
+    assert len(t0 & t1) == k + 1
+    # operator exactness on degree-7 polynomials
+    x = geom.xflat()
+    f = x[:, 0] ** 7 + x[:, 0] * x[:, 1] ** 2
+    dfdx = 7 * x[:, 0] ** 6 + x[:, 1] ** 2
+    got = geom.operators["dx"].matvec(f)
+    assert np.abs(got - dfdx).max() < 1e-7
+    # quadrature: integral of df/dx over [0,2]x[0,1] = 2^7 + 2/3
+    assert abs(float(geom.w @ got) - (128 + 2.0 / 3.0)) < 1e-7
+
+
 def test_msh41_binary_roundtrip(tmp_path):
     """Binary v4.1 import matches the equivalent ASCII import."""
     import struct
