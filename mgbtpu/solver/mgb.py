@@ -359,10 +359,20 @@ class ProblemKernels:
         else:
             z_dev = jnp.asarray(np.asarray(z, dtype=dtype))
         ramp = self._ramp_for(feas_block)
+        arrs = (z_dev, Dz0, self._R_ell(l), ops,
+                jnp.asarray(wcc.astype(dtype)), jnp.asarray(bw.astype(dtype)),
+                tuple(args))
+        if self.mesh is not None:
+            # shard the node/element axes exactly like the per-step Newton
+            # path (_fargs); GSPMD propagates the shardings through the
+            # fused while_loop and inserts the same collective set the
+            # pinned contract test checks (tests/test_sharding.py)
+            from ..parallel.sharding import shard_fargs
+
+            arrs = shard_fargs(self.mesh, arrs, ops.n_nodes, ops.N)
+        (z_dev, Dz0, R_ell, ops_s, wcc_dev, bw_dev, args_s) = arrs
         out = ramp(
-            z_dev, Dz0, self._R_ell(l), ops,
-            jnp.asarray(wcc.astype(dtype)), jnp.asarray(bw.astype(dtype)),
-            tuple(args),
+            z_dev, Dz0, R_ell, ops_s, wcc_dev, bw_dev, args_s,
             jnp.asarray(t, dtype), jnp.asarray(kappa, dtype),
             jnp.asarray(t_first, dtype), jnp.asarray(target, dtype),
             jnp.asarray(kappa0, dtype), jnp.asarray(max_newton, jnp.int32),
@@ -636,7 +646,7 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
     env_fused = __import__("os").environ.get("MGBTPU_FUSED_RAMP")
     want_fused = (env_fused != "0") if env_fused is not None \
         else jax.default_backend() != "cpu"
-    fused = fusable_stop and kern.mesh is None and want_fused
+    fused = fusable_stop and want_fused
     if not fused and isinstance(early_stop, tuple):
         # materialize the structured feasibility stop as a host closure for
         # the classic loop (same semantics as the fused on-device check)

@@ -41,6 +41,30 @@ def test_sharded_solve_matches_unsharded():
     assert np.abs(z0 - z1).max() < 2e-7
 
 
+def test_sharded_solve_L5_default_config(monkeypatch):
+    """L=5 fem2d_P2 through the 8-device mesh with DEFAULT thresholds — the
+    nested-dissection direct solver engages (n_J > DENSE_MAX) and the fused
+    on-device ramp runs UNDER the mesh (no host loop): the result must match
+    the single-device solve. This is the at-scale multi-chip case the toy
+    L=2/3 tests don't cover; the ND factors are replicated per device (see
+    ``ops/ndchol.nd_memory_report``), only element/node-axis work shards."""
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    from mgbtpu import amg, assemble, fem2d_P2, mgb_solve, subdivide
+    from mgbtpu.parallel import make_mesh
+
+    monkeypatch.setenv("MGBTPU_FUSED_RAMP", "1")   # CPU defaults it off
+    g = subdivide(fem2d_P2(), 5)
+    mg = amg(g)
+    prob = assemble(mg, p=1.0)
+    z0 = mgb_solve(prob).z
+    z1 = mgb_solve(prob, mesh=make_mesh(n)).z
+    # measured gap 3.9e-14 (f64; same ramp program, sharded reductions
+    # reorder sums); bar at ~100x that margin but well below solver tol
+    assert np.abs(z0 - z1).max() < 5e-12
+
+
 def test_sharded_pcg_path_matches(monkeypatch):
     """The PCG/GramHessian path (the dominant one at scale) under the
     8-device mesh must reproduce the single-device solution closely:
