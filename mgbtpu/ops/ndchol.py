@@ -653,6 +653,41 @@ def nd_solve_dd(dp: "NDDev", fact, rh, rl=None):
     return xh[:-1], xl[:-1]
 
 
+def nd_memory_report(dp) -> dict:
+    """Analytic memory model of the factorization (bytes), per level and
+    total, for capacity planning at scale (the 1M-DOF target) and for the
+    multi-chip story: the factors are REPLICATED per device under a mesh
+    (each chip holds the full factor; only the element/node-axis assembly
+    work shards), so ``factor_dd_bytes`` must fit in one chip's HBM.
+
+    Counts the stored factor blocks (L: nk*amax^2, U: nk*bmax*amax) plus
+    the peak transient front/Schur pair at each level (F: nk*(amax+bmax)^2,
+    S: nk*bmax^2 — alive only during that level's factorization step).
+    dd doubles every word (hi, lo f32 pairs).
+    """
+    word = 4  # float32
+    per_level = []
+    factor = 0
+    peak_transient = 0
+    for L in dp.levels:
+        if isinstance(L, dict):   # NDDevicePlan.levels; NDDev uses NDLevel
+            nk, amax, bmax, k = L["nk"], L["amax"], L["bmax"], L["k"]
+        else:
+            nk, amax, bmax, k = L.nk, L.amax, L.bmax, L.k
+        f = amax + bmax
+        fb = nk * (amax * amax + bmax * amax) * word
+        tb = nk * ((f + 1) * (f + 1) + bmax * bmax) * word
+        factor += fb
+        peak_transient = max(peak_transient, tb)
+        per_level.append(dict(k=k, nk=nk, amax=amax, bmax=bmax,
+                              factor_bytes=fb, transient_bytes=tb))
+    return dict(levels=per_level,
+                factor_bytes=factor,
+                factor_dd_bytes=2 * factor,
+                peak_transient_bytes=peak_transient,
+                peak_dd_bytes=2 * (factor + peak_transient))
+
+
 def nd_finite_dd(fact):
     flags = []
     for (Lh, Ll), (Uh, Ul) in fact:

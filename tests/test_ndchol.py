@@ -161,3 +161,25 @@ def test_nd_dd_duplicate_padded_columns():
     x0 = np.linalg.solve(_assemble_dense(plan, He5, 0.0), rhs)
     rel = np.abs(x - x0).max() / np.abs(x0).max()
     assert rel <= 1e-5, rel    # dropping dup contributions gives O(1) error
+
+
+def test_nd_memory_report():
+    """The analytic memory model counts exactly the arrays nd_factor_dd
+    materializes; it is the capacity planner for the 1M-DOF target and the
+    replicated-factor multi-chip story (each device holds the full factor)."""
+    from mgbtpu.ops.ndchol import nd_factor_dd, nd_memory_report
+
+    cols, n, xy, He = _grid_case(8, 8, seed=3)
+    plan = NDPlan(cols, n, xy, leaf_elems=4)
+    dph = NDDevicePlan(plan)
+    dp = dph.to_device()
+    rep = nd_memory_report(dp)
+    assert rep == nd_memory_report(dph)   # both plan flavors agree
+    fact = nd_factor_dd(dp, jnp.asarray(He, jnp.float32),
+                        jnp.zeros_like(jnp.asarray(He, jnp.float32)),
+                        2.0 ** -40)
+    measured = sum(int(np.prod(a.shape)) * 4
+                   for (Lh, Ll), (Uh, Ul) in fact
+                   for a in (Lh, Ll, Uh, Ul))
+    assert measured == rep["factor_dd_bytes"]
+    assert rep["peak_dd_bytes"] > rep["factor_dd_bytes"]
