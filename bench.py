@@ -57,10 +57,23 @@ def _force_cpu():
 
     The environment's sitecustomize force-registers the TPU platform and
     overrides JAX_PLATFORMS, so the config update (not the env var) is the
-    only reliable switch."""
+    only reliable switch. The shared TPU-path compile cache is replaced by
+    a machine-fingerprinted CPU one (CPU AOT artifacts from a host with
+    different machine features can SIGILL on load; same fingerprint =
+    same host)."""
+    import hashlib
+    import platform
+    import tempfile
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", None)
+    fp = hashlib.sha1(
+        (platform.machine() + platform.processor()).encode()).hexdigest()[:8]
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(tempfile.gettempdir(),
+                     f"mgbtpu_benchcache_{os.getuid()}_{fp}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_platforms", "cpu")
 
 
