@@ -77,14 +77,22 @@ def _force_cpu():
     jax.config.update("jax_platforms", "cpu")
 
 
-BASELINE_GPU = {4: 0.664, 5: 1.039, 6: 1.851, 7: 5.122}
+# reference A40 structured-path solve times (bench.md) per FEM family
+_BASELINES = {
+    "fem2d_P2": {4: 0.664, 5: 1.039, 6: 1.851, 7: 5.122},
+    "fem2d_P1": {4: 0.888, 5: 1.276, 6: 3.781, 7: 13.152, 8: 60.045},
+}
+BENCH_FEM = os.environ.get("MGB_BENCH_FEM", "fem2d_P2")
+BASELINE_GPU = _BASELINES.get(BENCH_FEM, {})
 
 
 def run(L: int, dtype):
-    from mgbtpu import amg, assemble, fem2d_P2, mgb_solve, subdivide
+    import mgbtpu
+    from mgbtpu import amg, assemble, mgb_solve, subdivide
 
+    fem = getattr(mgbtpu, BENCH_FEM)
     t0 = time.time()
-    geom = subdivide(fem2d_P2(dtype=dtype), L)
+    geom = subdivide(fem(dtype=dtype), L)
     mg = amg(geom)
     setup_s = time.time() - t0
 
@@ -169,7 +177,7 @@ def main():
     base = BASELINE_GPU.get(L)
     vs = (base / r["solve_s"]) if base else None
     print(json.dumps({
-        "metric": f"fem2d_P2 p=1 L={L} ({r['n_dofs']//2} dofs/component) "
+        "metric": f"{BENCH_FEM} p=1 L={L} ({r['n_dofs']//2} dofs/component) "
                   f"solve wall time, {backend} {np.dtype(dtype).name}",
         "value": round(r["solve_s"], 4),
         "unit": "s",
