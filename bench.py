@@ -107,7 +107,11 @@ def run(L: int, dtype):
         return time.time() - t1, sol
 
     warm_s, sol = solve()          # includes jit compiles
-    solve_s, sol = solve()         # warm caches
+    if os.environ.get("MGB_BENCH_ONESHOT"):
+        # scale runs (L >= 9): one solve is hours; report it as both
+        solve_s = warm_s
+    else:
+        solve_s, sol = solve()     # warm caches
     n_dofs = sol.z.size
     its = int(sol.SOL_main["its"].sum())
     # its/sqrt(n): the reference's theory predicts total Newton its
