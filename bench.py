@@ -114,12 +114,15 @@ def run(L: int, dtype):
         solve_s, sol = solve()     # warm caches
     n_dofs = sol.z.size
     its = int(sol.SOL_main["its"].sum())
+    att = int(sol.SOL_main.get("steps_attempted", 0))
+    acc = int(sol.SOL_main.get("steps_accepted", 0))
     # its/sqrt(n): the reference's theory predicts total Newton its
     # ~ O(sqrt(n)) along the ramp (paper/paper.md:36-39); a per-L trend of
     # this ratio exposes deep-L failure cascades as a rising tail
     return dict(setup_s=setup_s, warm_s=warm_s, solve_s=solve_s,
                 n_dofs=n_dofs, newton_its=its,
                 its_per_sqrt_n=round(its / np.sqrt(n_dofs), 3),
+                steps=f"{acc}/{att}",   # accepted/attempted centerings
                 finite=bool(np.all(np.isfinite(sol.z))))
 
 
@@ -190,6 +193,7 @@ def main():
                   "setup_s": round(r["setup_s"], 3),
                   "newton_its": r["newton_its"],
                   "its_per_sqrt_n": r["its_per_sqrt_n"],
+                  "steps": r["steps"],
                   "finite": r["finite"],
                   "baseline_A40_s": base,
                   **({"curve": curve} if curve else {})},

@@ -716,7 +716,13 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                 its=np.stack(its_hist, axis=1), ts=np.array(ts_hist),
                 kappas=np.array(kappa_hist), t_begin=t_begin, t_end=t_end,
                 t_elapsed=t_end - t_begin, times=np.array(time_hist),
-                c_dot_Dz=np.array(cdz_hist), cg=np.array(cg_hist))
+                c_dot_Dz=np.array(cdz_hist), cg=np.array(cg_hist),
+                # cascade diagnostics: attempted centerings (incl. failed
+                # kappa-ladder retries; = k_att in the fused ramp) vs
+                # accepted ramp steps — a large gap localizes the deep-L
+                # marginal-centering cascades
+                steps_attempted=int(k),
+                steps_accepted=len(its_hist))
 
 
 # ---------------------------------------------------------------------------
