@@ -57,23 +57,15 @@ def _force_cpu():
 
     The environment's sitecustomize force-registers the TPU platform and
     overrides JAX_PLATFORMS, so the config update (not the env var) is the
-    only reliable switch. The shared TPU-path compile cache is replaced by
-    a machine-fingerprinted CPU one (CPU AOT artifacts from a host with
-    different machine features can SIGILL on load; same fingerprint =
-    same host)."""
-    import hashlib
-    import platform
-    import tempfile
-
+    only reliable switch. The persistent compile cache stays OFF on the
+    CPU fallback: XLA:CPU AOT artifacts record compile-machine features
+    that this VM's CPU feature exposure does not stably match (observed
+    "+prefer-no-scatter" mismatches on reload within the same host), and a
+    SIGILL would kill the bench without a JSON line — the ~4 s warm-up win
+    is not worth that risk."""
     import jax
 
-    fp = hashlib.sha1(
-        (platform.machine() + platform.processor()).encode()).hexdigest()[:8]
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(tempfile.gettempdir(),
-                     f"mgbtpu_benchcache_{os.getuid()}_{fp}"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_compilation_cache_dir", None)
     jax.config.update("jax_platforms", "cpu")
 
 
