@@ -147,7 +147,21 @@ def dd_tri_solve_left(Lh, Ll, bh, bl, transpose=False):
 
 
 def dd_syrk_sub(Ch, Cl, Uh, Ul):
-    """C - U U^T in dd (batched): U (Bk, m, n), C (Bk, m, m)."""
+    """C - U U^T in dd (batched): U (Bk, m, n), C (Bk, m, m).
+
+    Large inner dimensions go through the Ozaki split MXU path
+    (ops/ozaki.py): exact bf16 matmuls + compensated combine, ~a/9 times
+    cheaper than the elementwise VPU transforms below; the VPU form stays
+    for small fronts (slicing overhead) and as the oracle in tests."""
+    from .ozaki import OZAKI_MIN_INNER, dd_syrk_ozaki
+
+    if Uh.shape[-1] >= OZAKI_MIN_INNER:
+        return dd_syrk_ozaki((Ch, Cl), (Uh, Ul))
+    return dd_syrk_sub_vpu(Ch, Cl, Uh, Ul)
+
+
+def dd_syrk_sub_vpu(Ch, Cl, Uh, Ul):
+    """Elementwise-EFT reference form of ``dd_syrk_sub`` (O(m^2 n) VPU)."""
     ph, pe = df64.dd_mul((Uh[:, :, None, :], Ul[:, :, None, :]),
                          (Uh[:, None, :, :], Ul[:, None, :, :]))
     sh, sl = df64.dd_tree_sum((ph, pe), axis=3)

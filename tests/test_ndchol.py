@@ -183,3 +183,26 @@ def test_nd_memory_report():
                    for a in (Lh, Ll, Uh, Ul))
     assert measured == rep["factor_dd_bytes"]
     assert rep["peak_dd_bytes"] > rep["factor_dd_bytes"]
+
+
+def test_nd_dd_large_fronts_ozaki_path():
+    """Fronts wide enough to cross OZAKI_MIN_INNER: the Schur SYRK runs
+    through the split-MXU path (ops/ozaki.py) and the factorization must
+    keep its dd-grade accuracy (bar matches the small-front dd cases)."""
+    from mgbtpu.ops.ndchol import nd_factor_dd, nd_solve_dd
+    from mgbtpu.ops.ozaki import OZAKI_MIN_INNER
+
+    cols, n, xy, He = _grid_case(24, 24, seed=11)
+    plan = NDPlan(cols, n, xy, leaf_elems=64)
+    dph = NDDevicePlan(plan)
+    assert max(L["amax"] for L in dph.levels) >= OZAKI_MIN_INNER
+    dp = dph.to_device()
+    rng = np.random.default_rng(12)
+    rhs = rng.standard_normal(n)
+    fact = nd_factor_dd(dp, jnp.asarray(He, jnp.float32),
+                        jnp.zeros((len(cols), 3, 3), jnp.float32), 2.0 ** -40)
+    xh, xl = nd_solve_dd(dp, fact, jnp.asarray(rhs, jnp.float32))
+    x = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    x0 = np.linalg.solve(_assemble_dense(plan, He, 0.0), rhs)
+    rel = np.abs(x - x0).max() / np.abs(x0).max()
+    assert rel <= 1e-7, rel
