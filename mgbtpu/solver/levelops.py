@@ -474,7 +474,13 @@ def build_panel_ops(D_fine, nu: int, R: sp.spmatrix, p: int,
 
 
 def _vector_slots(cols, counts, e, c):
-    """Vectorized per-element searchsorted via global keys."""
+    """Vectorized per-element searchsorted via global keys.
+
+    ``e``/``c`` arrive as scipy COO int32 indices; NEP-50 weak promotion
+    keeps ``e * max_col`` in int32, which OVERFLOWS once N * n_J > 2^31
+    (first hit: fem2d_P1 L=8, 32768 elements x 114k dofs) — elements past
+    the wrap got garbage slots and ~38% of the panel data was silently
+    dropped. Force int64 keys."""
     N, C = cols.shape
     max_col = int(cols.max()) + 2 if cols.size else 2
     # build sorted global keys of valid (e, col) pairs
@@ -482,8 +488,8 @@ def _vector_slots(cols, counts, e, c):
     pos_in_e = np.concatenate([np.arange(k) for k in counts]) if N else \
         np.zeros(0, dtype=np.int64)
     valid_c = cols[valid_e, pos_in_e]
-    keys = valid_e * max_col + valid_c
-    q = e * max_col + c
+    keys = valid_e.astype(np.int64) * max_col + valid_c.astype(np.int64)
+    q = e.astype(np.int64) * max_col + c.astype(np.int64)
     idx = np.searchsorted(keys, q)
     return pos_in_e[idx]
 

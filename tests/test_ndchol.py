@@ -206,3 +206,33 @@ def test_nd_dd_large_fronts_ozaki_path():
     x0 = np.linalg.solve(_assemble_dense(plan, He, 0.0), rhs)
     rel = np.abs(x - x0).max() / np.abs(x0).max()
     assert rel <= 1e-7, rel
+
+
+def test_panel_slots_beyond_int32_keys():
+    """Regression: scipy COO indices are int32, and NEP-50 weak promotion
+    kept the _vector_slots key product in int32 — elements past
+    2^31/(n_J+2) got garbage slots and their panel data silently vanished
+    (first hit in production: fem2d_P1 L=8, 38% of dofs lost their Hessian
+    rows and every solve at L>=8 stalled). Build a panel plan whose
+    element-key products exceed 2^31 and check no data is dropped."""
+    import scipy.sparse as sp
+    from mgbtpu.ops.blockdiag import BlockDiagHost
+    from mgbtpu.solver.levelops import build_panel_ops
+
+    N, n_J = 40000, 60000          # N * (n_J + 2) = 2.4e9 > 2^31
+    p, nu = 1, 1
+    rng = np.random.default_rng(0)
+    op = BlockDiagHost(np.ones((N, 1, 1)))
+    rows = np.arange(N, dtype=np.int64)
+    cols_r = (rows * 7919) % n_J   # scatter columns across the range
+    vals = rng.uniform(1.0, 2.0, N)
+    R = sp.csr_matrix((vals, (rows, cols_r)), shape=(N, n_J))
+    ops = build_panel_ops([(op, 0)], nu, R, p, np.float64)
+    # every element's single coefficient must survive into its panel slot
+    P = np.asarray(ops.panels)[0, :, 0, :]        # (N, C)
+    colsd = np.asarray(ops.cols)
+    got = np.zeros(n_J)
+    np.add.at(got, colsd.reshape(-1), P.reshape(-1))
+    want = np.zeros(n_J)
+    np.add.at(want, cols_r, vals)
+    assert np.abs(got - want).max() < 1e-12
