@@ -22,13 +22,37 @@ from jax import lax
 from . import df64
 
 
+_BLOCK = 32  # panel width of the blocked (MXU-update) factorizations
+
+
 def dd_cholesky(Ah, Al):
     """Batched lower Cholesky of SPD dd matrices (B, n, n) -> dd (Lh, Ll).
 
-    Right-looking, one column per fori_loop step; masked full-width
-    trailing updates keep shapes static. Non-PD pivots propagate NaN like
-    ``jnp.linalg.cholesky``.
+    Above ``_BLOCK`` columns: recursive right-looking blocked form — rolled
+    panel factor + panel solve (VPU, O(n^2 w)) with the trailing Schur
+    update on the MXU via the Ozaki split GEMM (``dd_syrk_sub`` dispatch).
+    Static shapes throughout (python recursion, depth n/w). At or below
+    ``_BLOCK``: the rolled one-column-per-step form below.
     """
+    n = Ah.shape[-1]
+    if n > _BLOCK:
+        w = _BLOCK
+        L11 = dd_cholesky(Ah[:, :w, :w], Al[:, :w, :w])
+        L21 = dd_tri_solve_right(L11[0], L11[1],
+                                 Ah[:, w:, :w], Al[:, w:, :w])
+        Sh, Sl = dd_syrk_sub(Ah[:, w:, w:], Al[:, w:, w:], L21[0], L21[1])
+        L22 = dd_cholesky(Sh, Sl)
+        zh = jnp.zeros(Ah[:, :w, w:].shape, Ah.dtype)
+        top_h = jnp.concatenate([L11[0], zh], axis=2)
+        top_l = jnp.concatenate([L11[1], zh], axis=2)
+        bot_h = jnp.concatenate([L21[0], L22[0]], axis=2)
+        bot_l = jnp.concatenate([L21[1], L22[1]], axis=2)
+        return (jnp.concatenate([top_h, bot_h], axis=1),
+                jnp.concatenate([top_l, bot_l], axis=1))
+    return _dd_cholesky_rolled(Ah, Al)
+
+
+def _dd_cholesky_rolled(Ah, Al):
     B, n, _ = Ah.shape
     rows = jnp.arange(n)
 
@@ -69,7 +93,27 @@ def dd_cholesky(Ah, Al):
 
 def dd_tri_solve_right(Lh, Ll, Bh, Bl):
     """Solve X L^T = B for X (batched): L dd lower (Bk, n, n), B dd
-    (Bk, m, n). Forward substitution over columns of X."""
+    (Bk, m, n).
+
+    Above ``_BLOCK``: recursive blocked forward substitution — the
+    off-diagonal update X1 L21^T rides the Ozaki MXU GEMM; panels solve
+    with the rolled column loop below."""
+    n = Bh.shape[-1]
+    if n > _BLOCK:
+        from .ozaki import dd_matmul_nt
+
+        w = _BLOCK
+        X1 = dd_tri_solve_right(Lh[:, :w, :w], Ll[:, :w, :w],
+                                Bh[:, :, :w], Bl[:, :, :w])
+        upd = dd_matmul_nt(X1, (Lh[:, w:, :w], Ll[:, w:, :w]))
+        B2h, B2l = df64.dd_sub((Bh[:, :, w:], Bl[:, :, w:]), upd)
+        X2 = dd_tri_solve_right(Lh[:, w:, w:], Ll[:, w:, w:], B2h, B2l)
+        return (jnp.concatenate([X1[0], X2[0]], axis=2),
+                jnp.concatenate([X1[1], X2[1]], axis=2))
+    return _dd_tri_solve_right_rolled(Lh, Ll, Bh, Bl)
+
+
+def _dd_tri_solve_right_rolled(Lh, Ll, Bh, Bl):
     Bk, m, n = Bh.shape
 
     def body(j, carry):
