@@ -1,0 +1,13 @@
+#!/bin/bash
+# Phase-2 TPU measurements (fire AFTER tpu_queue.sh finishes): the
+# fem2d_P1 scale ladder toward the 1M-DOF BASELINE target, f32/dd on the
+# real chip. Each level is its own process so a failure doesn't kill the
+# ladder; ONESHOT because a scale solve is minutes+.
+cd /root/repo
+log() { echo "[$(date +%H:%M:%S)] $*"; }
+for L in 8 9 10 11; do
+  log "=== fem2d_P1 L=$L (TPU f32/dd)"
+  MGB_BENCH_FEM=fem2d_P1 MGB_BENCH_L=$L MGB_BENCH_ONESHOT=1 MGBTPU_NO_X64=1 \
+    timeout 14000 python bench.py 2>&1 | grep -v WARNING | tail -3
+done
+log "queue2 done"
