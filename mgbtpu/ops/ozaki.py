@@ -54,11 +54,20 @@ def _slice_params(n_inner: int):
 
 def _row_scale(Ah, axis):
     """Power-of-two per-row scale sigma >= max|Ah| along ``axis`` (1 for
-    all-zero rows), and its exact reciprocal."""
+    all-zero rows), and its exact reciprocal.
+
+    Exponent extraction by f32 bit manipulation (bitcast + shift) instead
+    of frexp/ldexp: identical semantics on the normal range, guaranteed
+    lowering on every backend, and no transcendental path."""
     m = jnp.max(jnp.abs(Ah), axis=axis, keepdims=True)
-    _, e = jnp.frexp(jnp.where(m > 0, m, 1.0))
-    sigma = jnp.ldexp(jnp.ones_like(m), e)
-    return sigma, jnp.ldexp(jnp.ones_like(m), -e)
+    m = jnp.where(m > 0, m, 1.0).astype(jnp.float32)
+    bits = lax.bitcast_convert_type(m, jnp.int32)
+    b = (bits >> 23) & 0xFF                       # biased exponent
+    frac = (bits & 0x7FFFFF) != 0
+    bp = jnp.clip(b + frac.astype(jnp.int32), 1, 253)  # ceil(log2 m) + 127
+    sigma = lax.bitcast_convert_type((bp << 23), jnp.float32)
+    sigma_inv = lax.bitcast_convert_type(((254 - bp) << 23), jnp.float32)
+    return sigma.astype(Ah.dtype), sigma_inv.astype(Ah.dtype)
 
 
 def _slices(xh, xl, s: int, S: int):
