@@ -89,6 +89,23 @@ rel_nd = np.linalg.norm(np.asarray(b) - Hs @ x) / np.linalg.norm(np.asarray(b))
 print("nd_solve rel res (TPU):", rel_nd, flush=True)
 assert rel_nd < 1e-4, "ND factorization inaccurate on TPU"
 
+# 3b. Ozaki split dd-GEMM exactness on the MXU (bf16 matmuls must
+# accumulate our bounded-span products exactly; asserted vs an f64 oracle)
+from mgbtpu.ops.df64 import f64_split  # noqa: E402
+from mgbtpu.ops.ozaki import dd_matmul_nt  # noqa: E402
+
+Af = rng.standard_normal((2, 17, 128)) * np.exp(
+    3.0 * rng.uniform(-1, 1, (2, 17, 128)))
+Bf = rng.standard_normal((2, 9, 128))
+A = tuple(map(jnp.asarray, f64_split(Af)))
+Bz = tuple(map(jnp.asarray, f64_split(Bf)))
+oh, ol = jax.jit(dd_matmul_nt)(A, Bz)
+got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+want = Af @ np.swapaxes(Bf, -1, -2)
+rel_oz = np.abs(got - want).max() / np.abs(want).max()
+print("ozaki dd-GEMM rel err (TPU):", rel_oz, flush=True)
+assert rel_oz < 2.0 ** -42, "Ozaki split GEMM inaccurate on TPU MXU"
+
 # 4. end-to-end solve through the kernels
 from mgbtpu import amg, assemble, fem2d_P2, mgb_solve, subdivide  # noqa: E402
 
