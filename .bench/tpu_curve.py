@@ -46,3 +46,19 @@ for L in [int(a) for a in (sys.argv[1:] or ["4", "5", "6"])]:
         print(f"L={L}: ERROR {rec['error']}", flush=True)
     out[L] = rec
 print("CURVE " + json.dumps(out), flush=True)
+# persist for bench.py to attach as provenance-marked extra data
+try:
+    import datetime
+
+    prev = {}
+    path = os.path.join(os.path.dirname(__file__), "last_tpu_curve.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f).get("curve", {})
+    prev.update({str(k): v for k, v in out.items()})
+    with open(path, "w") as f:
+        json.dump({"curve": prev,
+                   "recorded_utc": datetime.datetime.utcnow().isoformat()},
+                  f)
+except Exception as e:  # pragma: no cover
+    print("persist failed:", e)

@@ -175,6 +175,20 @@ def main():
                   env)
     base = BASELINE_GPU.get(L)
     vs = (base / r["solve_s"]) if base else None
+    # attach the most recent on-hardware scaling curve recorded by
+    # .bench/tpu_curve.py (provenance-marked: it is a separate run, not
+    # this process's measurement)
+    tpu_curve = None
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench", "last_tpu_curve.json")
+        # attach even on the CPU fallback: a tunnel outage at driver time
+        # must not hide an earlier same-round on-hardware curve
+        if os.path.exists(path):
+            with open(path) as f:
+                tpu_curve = json.load(f)
+    except Exception:
+        tpu_curve = None
     print(json.dumps({
         "metric": f"{BENCH_FEM} p=1 L={L} ({r['n_dofs']//2} dofs/component) "
                   f"solve wall time, {backend} {np.dtype(dtype).name}",
@@ -188,7 +202,8 @@ def main():
                   "steps": r["steps"],
                   "finite": r["finite"],
                   "baseline_A40_s": base,
-                  **({"curve": curve} if curve else {})},
+                  **({"curve": curve} if curve else {}),
+                  **({"tpu_curve_recorded": tpu_curve} if tpu_curve else {})},
     }))
 
 
