@@ -36,8 +36,11 @@ from jax import lax
 
 from . import df64
 
-# below this inner dimension the slicing overhead beats the MXU win
-OZAKI_MIN_INNER = 16
+# below this inner dimension the slicing overhead and MXU tile padding
+# (128-lane contraction) beat the split-GEMM win; tunable for sweeps
+import os as _os
+
+OZAKI_MIN_INNER = int(_os.environ.get("MGBTPU_OZAKI_MIN_INNER", 32))
 # target significand coverage (bits): dd carries ~48; one extra slice of
 # margin keeps the dropped tail below the dd pipeline's own roundoff
 _TARGET_BITS = 49

@@ -192,8 +192,8 @@ def test_nd_dd_large_fronts_ozaki_path():
     from mgbtpu.ops.ndchol import nd_factor_dd, nd_solve_dd
     from mgbtpu.ops.ozaki import OZAKI_MIN_INNER
 
-    cols, n, xy, He = _grid_case(24, 24, seed=11)
-    plan = NDPlan(cols, n, xy, leaf_elems=64)
+    cols, n, xy, He = _grid_case(40, 40, seed=11)
+    plan = NDPlan(cols, n, xy, leaf_elems=128)
     dph = NDDevicePlan(plan)
     assert max(L["amax"] for L in dph.levels) >= OZAKI_MIN_INNER
     dp = dph.to_device()
