@@ -73,6 +73,7 @@ def _force_cpu():
 _BASELINES = {
     "fem2d_P2": {4: 0.664, 5: 1.039, 6: 1.851, 7: 5.122},
     "fem2d_P1": {4: 0.888, 5: 1.276, 6: 3.781, 7: 13.152, 8: 60.045},
+    "fem3d": {2: 0.790},   # Q_k k=3, GPU AMG (bench.md fem3d table)
 }
 BENCH_FEM = os.environ.get("MGB_BENCH_FEM", "fem2d_P2")
 BASELINE_GPU = _BASELINES.get(BENCH_FEM, {})

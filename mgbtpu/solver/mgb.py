@@ -533,7 +533,7 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
             its_acc[L - 1] += chunk.last_its
             cg_acc = 0
             while kappa > 1:
-                t1 = kappa * t
+                t1 = min(kappa * t, target)   # never center past 1/tol
                 # marginal-centering razor edge: when the decrement hovers at
                 # ~lambda_tol a centering can need ~max_newton+1 iterations
                 # and the sqrt(kappa) ladder then grinds asymptotically (the
@@ -677,7 +677,11 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
             its_acc = np.zeros(L, dtype=np.int64)
             cg_acc = 0
             while kappa > 1:
-                t1 = kappa * t
+                # clamp the jump at the target: centering beyond 1/tol buys
+                # nothing and the overshoot step (up to kappa x too far) is
+                # the most expensive centering of the whole ramp (L=8
+                # profile: 98 of 378 its in the final step at 1.3x target)
+                t1 = min(kappa * t, target)
                 boost = kappa < 1.05   # final full-budget attempt (see the
                                        # assisted-step ladder note)
                 log("mgb_core", f"k={k} t={t} kappa={kappa} t1={t1}"

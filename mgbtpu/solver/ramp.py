@@ -86,7 +86,10 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
         def body(c):
             (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
              h_its, h_ts, h_kap, h_cdz, h_cg, status) = c
-            t1 = kappa * t
+            # clamp at the target: the ramp must only REACH 1/tol, and the
+            # unclamped final jump centers up to kappa x past it — the most
+            # expensive centering of the ramp (see mgb_core)
+            t1 = jnp.minimum(kappa * t, target)
             wc = t1 * wcc
             x, y, kits, nst, kcg = newton_core(
                 x0, (ops, Dz0, wc, bw) + args, max_newton, lambda_tol, theta)
