@@ -49,3 +49,21 @@ def test_fused_phase1_early_stop(fused):
     assert "entering phase I" in log
     assert sol.SOL_feasibility is not None
     assert np.all(np.isfinite(sol.z))
+
+
+def test_ramp_lands_exactly_on_target(fused, monkeypatch):
+    """The t-ramp clamps every jump at target = 1/tol: the unclamped final
+    step centered up to kappa x past the target and was the most expensive
+    centering of the whole ramp (L=8 profile: 98 of 378 Newton its).
+    Both loops must land the final t exactly on 1/tol."""
+    from mgbtpu import amg, assemble, fem1d, mgb_solve, subdivide
+
+    geom = subdivide(fem1d(dtype=np.float64), 1)
+    prob = assemble(amg(geom), p=1.5, dtype=np.float64)
+    tol = 1e-6
+    sol_f = mgb_solve(prob, tol=tol)
+    assert sol_f.SOL_main["ts"][-1] == 1.0 / tol
+
+    monkeypatch.setenv("MGBTPU_FUSED_RAMP", "0")
+    sol_h = mgb_solve(prob, tol=tol)
+    assert sol_h.SOL_main["ts"][-1] == 1.0 / tol
