@@ -10,6 +10,8 @@ for L in 8 9 10 11; do
   MGB_BENCH_FEM=fem2d_P1 MGB_BENCH_L=$L MGB_BENCH_ONESHOT=1 MGBTPU_NO_X64=1 \
     timeout 14000 python bench.py 2>&1 | grep -v WARNING | tail -3
 done
+log "=== parabolic fem2d_P1 L=7 x 4 steps (TPU f32/dd)"
+timeout 7200 python .bench/tpu_parabolic.py 7 4 2>&1 | grep -v WARNING | tail -2
 log "=== fem3d k=3 L=2 (TPU, A40 baseline 0.790 s)"
 MGB_BENCH_FEM=fem3d MGB_BENCH_L=2 MGBTPU_NO_X64=1 \
   timeout 3600 python bench.py 2>&1 | grep -v WARNING | tail -2
