@@ -19,6 +19,26 @@ from mgbtpu import amg, assemble, fem2d_P2, mgb_solve, subdivide  # noqa: E402
 from mgbtpu.utils.errors import MGBConvergenceFailure  # noqa: E402
 
 BASELINE_A40 = {4: 0.664, 5: 1.039, 6: 1.851, 7: 5.122}
+
+
+def persist(out):
+    """Merge into last_tpu_curve.json NOW: a tunnel drop mid-curve kills
+    this process via the queue's timeout, and anything not yet on disk is
+    a lost hardware measurement (they are hours apart some days)."""
+    import datetime
+
+    path = os.path.join(os.path.dirname(__file__), "last_tpu_curve.json")
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f).get("curve", {})
+    prev.update({str(k): v for k, v in out.items()})
+    with open(path, "w") as f:
+        json.dump({"curve": prev,
+                   "recorded_utc":
+                   datetime.datetime.now(datetime.UTC).isoformat()}, f)
+
+
 out = {}
 for L in [int(a) for a in (sys.argv[1:] or ["4", "5", "6"])]:
     t0 = time.time()
@@ -45,20 +65,8 @@ for L in [int(a) for a in (sys.argv[1:] or ["4", "5", "6"])]:
         rec["error"] = f"{type(e).__name__}: {e}"[:300]
         print(f"L={L}: ERROR {rec['error']}", flush=True)
     out[L] = rec
+    try:  # persist for bench.py to attach as provenance-marked extra data
+        persist(out)
+    except Exception as e:  # pragma: no cover
+        print("persist failed:", e)
 print("CURVE " + json.dumps(out), flush=True)
-# persist for bench.py to attach as provenance-marked extra data
-try:
-    import datetime
-
-    prev = {}
-    path = os.path.join(os.path.dirname(__file__), "last_tpu_curve.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            prev = json.load(f).get("curve", {})
-    prev.update({str(k): v for k, v in out.items()})
-    with open(path, "w") as f:
-        json.dump({"curve": prev,
-                   "recorded_utc": datetime.datetime.utcnow().isoformat()},
-                  f)
-except Exception as e:  # pragma: no cover
-    print("persist failed:", e)

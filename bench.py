@@ -190,6 +190,18 @@ def main():
                 tpu_curve = json.load(f)
     except Exception:
         tpu_curve = None
+    # attach on-hardware scale-ladder runs recorded by .bench/tpu_queue2.sh
+    # (same provenance rule: separate runs, not this process's measurement)
+    tpu_runs = None
+    try:
+        rpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench", "tpu_runs.jsonl")
+        if os.path.exists(rpath):
+            with open(rpath) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            tpu_runs = [json.loads(ln) for ln in lines[-8:]]
+    except Exception:
+        tpu_runs = None
     print(json.dumps({
         "metric": f"{BENCH_FEM} p=1 L={L} ({r['n_dofs']//2} dofs/component) "
                   f"solve wall time, {backend} {np.dtype(dtype).name}",
@@ -204,7 +216,8 @@ def main():
                   "finite": r["finite"],
                   "baseline_A40_s": base,
                   **({"curve": curve} if curve else {}),
-                  **({"tpu_curve_recorded": tpu_curve} if tpu_curve else {})},
+                  **({"tpu_curve_recorded": tpu_curve} if tpu_curve else {}),
+                  **({"tpu_runs_recorded": tpu_runs} if tpu_runs else {})},
     }))
 
 

@@ -541,6 +541,21 @@ class Model:
         k = self._lowered["names"].index(var.name)
         return np.asarray(self.sol.z[:, k])
 
+    def mgb_solution(self):
+        """The underlying MGBSOL after solve() — for plot(sol), logs,
+        diagnostics pytrees (reference: mgb_solution,
+        src/jump_frontend.jl:135-140)."""
+        if self.sol is None:
+            raise ValueError("solve first")
+        return self.sol
+
+    def solver_log(self):
+        """The solver iteration log as one string (reference: solver_log,
+        src/jump_frontend.jl:142-147)."""
+        if self.sol is None:
+            raise ValueError("solve first")
+        return self.sol.log
+
     def objective_value(self):
         L = self._lowered
         prob = L["prob"]

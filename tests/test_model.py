@@ -25,6 +25,10 @@ def test_p_laplacian_matches_direct(mg1):
     # direct (the golden fem1d p=1 problem)
     assert np.abs(m.value(u) - gold[:, 0]).max() < 1e-6
     assert m.status == "optimal"
+    # reference accessors (mgb_solution / solver_log,
+    # src/jump_frontend.jl:135-147)
+    assert m.mgb_solution() is sol
+    assert "mgb_solve" in m.solver_log()
 
 
 def test_obstacle_model(mg1):
