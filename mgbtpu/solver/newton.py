@@ -189,9 +189,29 @@ RTOL_LOOSE = float(_os.environ.get("MGBTPU_FORCING_RTOL", 1e-2))
 # the f32 factorization's shift) and CG counts inflate ~40% on the last
 # ramp steps; always-refreshing pays an n^3 factorization every iteration.
 # "auto" (default) rebuilds only when the previous solve's CG count
-# crossed PRE_REFRESH_AT — staleness is measured by the symptom itself.
+# crossed the refresh threshold — staleness is measured by the symptom
+# itself. The threshold is per-preconditioner-kind: the ND factorization
+# is O(n^1.5) while a CG matvec is O(n), so an ND refresh pays for itself
+# after a handful of saved CG its — measured on CPU f64 fem2d_P2 (solve
+# wall / total CG): L=6 AT=96: 15.6 s/2246 -> AT=4: 8.5 s/570; L=7:
+# 79.0 s/2874 -> 52.4 s/685; L=5: 1.57 s/1025 -> 0.98 s/314 (beats the
+# reference's A40). AT=2 and AT=8 bracket the same optimum. V-cycle/FSAI
+# preconditioners sit at ~8 CG its when healthy, so they keep the lax
+# threshold (a tight one would rebuild every iteration for no signal).
 PRE_REFRESH = _os.environ.get("MGBTPU_PRE_REFRESH", "auto")
 PRE_REFRESH_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_AT", 96))
+PRE_REFRESH_ND_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_ND_AT", 4))
+
+
+def _refresh_at(H):
+    """Trace-time CG-count threshold above which the frozen preconditioner
+    is rebuilt: tight for ND direct factors, lax for everything else."""
+    from .levelops import GramHessian
+
+    if (isinstance(H, GramHessian) and H.ctx is not None
+            and getattr(H.ctx, "nd", None) is not None):
+        return PRE_REFRESH_ND_AT
+    return PRE_REFRESH_AT
 # Dense-path refresh pays an n^3 factorization: measured break-even on TPU
 # sits between n_J = 1345 (refresh wins, L=4) and 5057 (frozen wins, L=5)
 PRE_REFRESH_MAXN = int(_os.environ.get("MGBTPU_PRE_REFRESH_MAXN", 3072))
@@ -1065,7 +1085,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
                 pre_k = make_pre(H)
             elif carry_pre:
                 pre_prev, cg_last = _pc
-                pre_k = lax.cond(cg_last > PRE_REFRESH_AT,
+                pre_k = lax.cond(cg_last > _refresh_at(H),
                                  lambda: make_pre(H), lambda: pre_prev)
             else:
                 pre_k = pre0
