@@ -470,11 +470,14 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
                      feas_block, wc_at, record, hists, progress, log, L):
     """Drive the fused on-device ramp; fall back to the classic level-bisected
     ``mgb_step`` only for the (rare) centering failures. Returns
-    (z, z_unf, t, kappa, k, converged)."""
+    (z, z_unf, t, kappa, k, converged, attempts): ``attempts`` counts every
+    centering attempt (in-kernel k_att + each assisted mgb_step), so failed
+    kappa-ladder retries are visible in SOL.steps_attempted."""
     from .ramp import R_EARLY, R_NEED_HELP, R_TARGET
 
     its_hist, ts_hist, kappa_hist, time_hist, cdz_hist, cg_hist = hists
     wcc = w[:, None] * c
+    attempts = 0
     t_first = np.inf
     if feas_block is not None:
         lo, hi = feas_block
@@ -501,6 +504,7 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
             cdz_hist.append(float(chunk.cdz[i]))
             cg_hist.append(int(chunk.cg[i]))
         k += chunk.k_att
+        attempts += chunk.k_att
         if chunk.nrec or chunk.status in (R_TARGET, R_EARLY):
             z, z_unf = chunk.z, chunk.z_unf
         t, kappa, t_first = chunk.t, chunk.kappa, chunk.t_first
@@ -549,6 +553,7 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
                                 else max_newton),
                     stopping=stopping, finalize=fin,
                     log=log)
+                attempts += 1
                 its_acc += its
                 cg_acc += cg_s
                 if conv:
@@ -573,7 +578,7 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
             if t >= target:
                 converged = True
         # else: chunk exhausted its step budget; loop re-enters
-    return z, z_unf, t, kappa, k, converged
+    return z, z_unf, t, kappa, k, converged, attempts
 
 
 def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
@@ -638,6 +643,7 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
             "stall")
     record(t, kappa, its, z, cg0)
     k = 1
+    attempts = 1  # the initial centering
     # The fused on-device ramp pays for itself when dispatch round trips are
     # expensive (TPU through the axon tunnel: ~0.1 s per call); on CPU the
     # classic host loop reuses the per-level newton jits that the initial
@@ -659,7 +665,7 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
             _tf[0] = min(_tf[0], tv)
             return tv >= 2 * _tf[0]
     if fused:
-        z, z_unf, t, kappa, k, converged = _fused_ramp_loop(
+        z, z_unf, t, kappa, k, converged, att_f = _fused_ramp_loop(
             kern, z, z_unf, t, kappa, k, args, w=w, c=c, bw=bw,
             target=target, tinit=tinit, kappa0=kappa0, maxit=maxit,
             max_newton=max_newton, stopping=stopping, finalize=finalize,
@@ -667,6 +673,7 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
             wc_at=wc_at, record=record, hists=(its_hist, ts_hist, kappa_hist,
                                                time_hist, cdz_hist, cg_hist),
             progress=progress, log=log, L=L)
+        attempts += att_f
     else:
         while t < target and kappa > 1 and k < maxit \
                 and not _early(early_stop, z, t):
@@ -692,6 +699,7 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                     max_newton=(min(4 * max_newton, maxit) if boost
                                 else max_newton),
                     stopping=stopping, finalize=fin, log=log)
+                attempts += 1
                 its_acc += its
                 cg_acc += cg_s
                 if conv:
@@ -721,11 +729,12 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                 kappas=np.array(kappa_hist), t_begin=t_begin, t_end=t_end,
                 t_elapsed=t_end - t_begin, times=np.array(time_hist),
                 c_dot_Dz=np.array(cdz_hist), cg=np.array(cg_hist),
-                # cascade diagnostics: attempted centerings (incl. failed
-                # kappa-ladder retries; = k_att in the fused ramp) vs
-                # accepted ramp steps — a large gap localizes the deep-L
-                # marginal-centering cascades
-                steps_attempted=int(k),
+                # cascade diagnostics: attempted centerings — EVERY
+                # mgb_step/newton attempt, including failed kappa-ladder
+                # retries in the classic loop's inner ladder and the fused
+                # ramp's in-kernel k_att — vs accepted ramp steps. A large
+                # gap localizes the deep-L marginal-centering cascades.
+                steps_attempted=int(attempts),
                 steps_accepted=len(its_hist))
 
 
