@@ -33,7 +33,8 @@ from ..utils.log import Log, Logger
 from .barrier import make_level_fns
 from .levelops import build_panel_ops
 from .ramp import _EASY_BONUS
-from .newton import (CONVERGED, make_newton, stopping_exact, stopping_inexact,
+from .newton import (CONVERGED, PREDICTOR, make_newton, stopping_exact,
+                     stopping_inexact,
                      linesearch_backtracking)
 
 
@@ -303,14 +304,19 @@ class ProblemKernels:
             fa = shard_fargs(self.mesh, fa, ops.n_nodes, ops.N)
         return fa
 
-    def run_newton(self, l, z, wc, bw, args, *, maxit, stopping):
-        """Newton in the level-l search space from s0 = 0."""
+    def run_newton(self, l, z, wc, bw, args, *, maxit, stopping,
+                   pred_r=None):
+        """Newton in the level-l search space from s0 = 0 (or, when
+        ``pred_r`` is given, from the central-path tangent predictor —
+        see ``newton.make_newton_core``)."""
         kind, theta, lambda_tol = stopping
         x0 = jnp.zeros((self.ops(l).n_J,), dtype=self.dtype)
         x, y, k, status, cg = self._newton(
             x0, self._fargs(l, z, wc, bw, args), jnp.asarray(maxit, jnp.int32),
             jnp.asarray(lambda_tol if kind == "inexact" else -1.0, self.dtype),
-            jnp.asarray(theta, self.dtype))
+            jnp.asarray(theta, self.dtype),
+            pred_r=(None if pred_r is None
+                    else jnp.asarray(pred_r, self.dtype)))
         return (np.asarray(x), float(y), int(k), int(status), int(cg))
 
     def _R_ell(self, l):
@@ -336,7 +342,8 @@ class ProblemKernels:
         return self._ramp_cache[key]
 
     def run_ramp(self, z, t, kappa, t_first, wcc, bw, args, *, target,
-                 kappa0, max_newton, stopping, feas_block, max_steps):
+                 kappa0, max_newton, max_newton_retry, easy_its, stopping,
+                 feas_block, max_steps):
         """One fused on-device ramp chunk from (z, t, kappa) at the finest
         level; returns a RampChunk (see ``solver/ramp.py``)."""
         from .ramp import HIST, RampChunk
@@ -376,6 +383,8 @@ class ProblemKernels:
             jnp.asarray(t, dtype), jnp.asarray(kappa, dtype),
             jnp.asarray(t_first, dtype), jnp.asarray(target, dtype),
             jnp.asarray(kappa0, dtype), jnp.asarray(max_newton, jnp.int32),
+            jnp.asarray(max_newton_retry, jnp.int32),
+            jnp.asarray(easy_its, dtype),
             jnp.asarray(lambda_tol if kind == "inexact" else -1.0, dtype),
             jnp.asarray(theta, dtype),
             jnp.asarray(min(max_steps, HIST), jnp.int32))
@@ -413,24 +422,41 @@ def divide_and_conquer(eta, j, J):
 
 
 def mgb_step(kern: ProblemKernels, z, wc, bw, args, *, maxit, max_newton,
-             stopping, finalize, log, initial_step=False):
+             stopping, finalize, log, initial_step=False, pred_r=None,
+             first_budget=None):
     """One centering at fixed t over the hierarchy; returns (z, its, conv).
 
     Never early-stops mid-V-cycle: the iterate handed back must be centered
     at its t (reference ``src/mgb.jl:36-46``). Multi-level jumps are capped
     at ``max_newton`` so failures trigger bisection; initial single-level
-    steps run to the global ``maxit`` (``src/mgb.jl:64-72``).
+    steps run to the global ``maxit`` (``src/mgb.jl:64-72``). ``pred_r``
+    warm-starts the FIRST attempt (the direct full jump, whose start is the
+    previous center) with the path-tangent predictor; later divide&conquer
+    attempts start from a coarse-corrected iterate where the tangent's
+    linearization point is gone, so they stay cold. ``first_budget`` (the
+    2x attempt budget, see mgb_core) applies to that first attempt ONLY:
+    giving it to every bisection attempt as well turns a structural
+    cascade's D&C recovery from ~55 its into ~150 (measured fem2d_P1 L=8:
+    287 -> 417 total), while the direct jump is where a marginal failure
+    converts into a ~50-it saving.
     """
     M = kern.M
     L = M.depth
     its = np.zeros(L, dtype=np.int64)
     cg_tot = [0]
-    state = {"z": z}
+    state = {"z": z, "pred_r": pred_r, "first": first_budget}
 
     def eta(j, J, stop, mi):
         log("mgb_step", f"j={j} J={J}")
+        pr, state["pred_r"] = state["pred_r"], None
+        fb, state["first"] = state["first"], None
+        # initial single-level centerings run to the global maxit (see mn);
+        # the 2x first-attempt budget must not cap them
+        use_fb = fb is not None and not (initial_step and J - j == 1)
         x, y, k, status, cg = kern.run_newton(J - 1, state["z"], wc, bw, args,
-                                              maxit=mi, stopping=stop)
+                                              maxit=(fb if use_fb else mi),
+                                              stopping=stop,
+                                              pred_r=pr)
         its[J - 1] += k
         cg_tot[0] += cg
         conv = status == CONVERGED
@@ -467,7 +493,8 @@ def _early(f, z, t):
 
 def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
                      tinit, kappa0, maxit, max_newton, stopping, finalize,
-                     feas_block, wc_at, record, hists, progress, log, L):
+                     feas_block, wc_at, record, hists, progress, log, L,
+                     budget, easy_its):
     """Drive the fused on-device ramp; fall back to the classic level-bisected
     ``mgb_step`` only for the (rare) centering failures. Returns
     (z, z_unf, t, kappa, k, converged, attempts): ``attempts`` counts every
@@ -491,7 +518,8 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
         log("mgb_core", f"fused ramp chunk from t={t} kappa={kappa} k={k}")
         chunk = kern.run_ramp(
             z, t, kappa, t_first, wcc, bw, args, target=target, kappa0=kappa0,
-            max_newton=max_newton, stopping=stopping,
+            max_newton=budget, max_newton_retry=max_newton,
+            easy_its=easy_its, stopping=stopping,
             feas_block=feas_block, max_steps=maxit - k)
         now = time.time()
         for i in range(chunk.nrec):
@@ -549,15 +577,17 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
                 fin = finalize if t1 >= target else None
                 z_try, z_unf_try, its, cg_s, conv = mgb_step(
                     kern, z, wc_at(t1), bw, args, maxit=maxit,
-                    max_newton=(min(4 * max_newton, maxit) if boost
-                                else max_newton),
+                    max_newton=(min(max(4 * max_newton, 2 * budget), maxit)
+                                if boost else max_newton),
+                    first_budget=None if boost else budget,
                     stopping=stopping, finalize=fin,
-                    log=log)
+                    log=log,
+                    pred_r=((t / t1) * (1.0 - t / t1)) if PREDICTOR else None)
                 attempts += 1
                 its_acc += its
                 cg_acc += cg_s
                 if conv:
-                    if its.max() <= max_newton * 0.5 + _EASY_BONUS:
+                    if its.max() <= easy_its:
                         kappa = min(kappa0, kappa ** 2)
                     z, z_unf = z_try, z_unf_try
                     t = t1
@@ -604,6 +634,23 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
         # Swept at L=6: f32/dd 329 -> 176 its, f64 235 -> 180 its with the
         # +2; kappa0 = 10 or 4 are both worse at either budget.
         max_newton = int(np.ceil(np.log2(-np.log2(epsT)))) + 4
+    # Attempt budget vs acceleration threshold — decoupled. max_newton is
+    # the BASE: the kappa-acceleration threshold stays at base/2 (+bonus),
+    # but each centering attempt may run to BUDGET_FACTOR x base before it
+    # is declared failed. The deep-L cascade profile (fem2d_P1 L=7/8 f64)
+    # shows the hard centerings need 15-20 its — just over the base budget
+    # of 10 — and a failed attempt restarts from x0=0, so declaring failure
+    # at 10 wastes the whole attempt and triggers a ~50-it divide&conquer.
+    # Pinned-threshold sweep at L=7: factor 1.0 = 444 its (3 cascades),
+    # 1.4 = 460, 2.0 = 289 its (1 cascade), 3.0 = 339 — the survivor at 2.0
+    # is structural (>30 its direct) and exactly what D&C is for. Earlier
+    # budget sweeps that moved the threshold WITH the budget (easy = half
+    # the budget) made big budgets look bad: kappa accelerated on 11-it
+    # steps and overshot into new failures.
+    budget = int(np.ceil(float(
+        __import__("os").environ.get("MGBTPU_BUDGET_FACTOR", 2.0))
+        * max_newton))
+    easy_its = max_newton * 0.5 + _EASY_BONUS
     fusable_stop = early_stop is None or (isinstance(early_stop, tuple)
                                           and early_stop[0] == "feasibility")
     if early_stop is None:
@@ -633,6 +680,7 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
     z, z_unf, its, cg0, conv = mgb_step(kern, z, wc_at(t), bw, args,
                                         maxit=maxit,
                                         max_newton=max_newton,
+                                        first_budget=budget,
                                         stopping=stopping,
                                         finalize=initial_finalize, log=log,
                                         initial_step=True)
@@ -672,7 +720,8 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
             feas_block=early_stop[1] if isinstance(early_stop, tuple) else None,
             wc_at=wc_at, record=record, hists=(its_hist, ts_hist, kappa_hist,
                                                time_hist, cdz_hist, cg_hist),
-            progress=progress, log=log, L=L)
+            progress=progress, log=log, L=L, budget=budget,
+            easy_its=easy_its)
         attempts += att_f
     else:
         while t < target and kappa > 1 and k < maxit \
@@ -696,14 +745,16 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                 fin = finalize if t1 >= target else None
                 z_try, z_unf_try, its, cg_s, conv = mgb_step(
                     kern, z, wc_at(t1), bw, args, maxit=maxit,
-                    max_newton=(min(4 * max_newton, maxit) if boost
-                                else max_newton),
-                    stopping=stopping, finalize=fin, log=log)
+                    max_newton=(min(max(4 * max_newton, 2 * budget), maxit)
+                                if boost else max_newton),
+                    first_budget=None if boost else budget,
+                    stopping=stopping, finalize=fin, log=log,
+                    pred_r=((t / t1) * (1.0 - t / t1)) if PREDICTOR else None)
                 attempts += 1
                 its_acc += its
                 cg_acc += cg_s
                 if conv:
-                    if its.max() <= max_newton * 0.5 + _EASY_BONUS:
+                    if its.max() <= easy_its:
                         log("mgb_core", "increasing t step size")
                         kappa = min(kappa0, kappa ** 2)
                     z, z_unf = z_try, z_unf_try

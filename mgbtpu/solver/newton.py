@@ -198,6 +198,10 @@ RTOL_LOOSE = float(_os.environ.get("MGBTPU_FORCING_RTOL", 1e-2))
 # reference's A40). AT=2 and AT=8 bracket the same optimum. V-cycle/FSAI
 # preconditioners sit at ~8 CG its when healthy, so they keep the lax
 # threshold (a tight one would rebuild every iteration for no signal).
+# Central-path tangent predictor (see make_newton_core._predict): warm-
+# starts each t-step's centering from the first-order path extrapolation
+# instead of the previous center. MGBTPU_PREDICTOR=0 disables.
+PREDICTOR = _os.environ.get("MGBTPU_PREDICTOR", "1") != "0"
 PRE_REFRESH = _os.environ.get("MGBTPU_PRE_REFRESH", "auto")
 PRE_REFRESH_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_AT", 96))
 PRE_REFRESH_ND_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_ND_AT", 4))
@@ -1052,14 +1056,64 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
 
     tight_rtol = IR_RTOL if dd else 1e-5
 
-    def newton(x0, fargs, maxit, lambda_tol, theta):
+    def _predict(x0, fargs, H0, pre0, pred_r):
+        """Central-path tangent predictor (warm start for one t-step).
+
+        At the previous center the gradient is g(x, t) = G'(bw F1 + t wcc),
+        so dg/dt = G' wcc and the path tangent is dx/dt = -H^{-1} G' wcc.
+        The extrapolation is taken in 1/t, not t: in log-barrier
+        coordinates the center is LINEAR in 1/t (scalar model
+        min t c x - log x: x(t) = 1/(tc), where the t-tangent overshoots
+        to x < 0 for kappa-sized jumps and the 1/t-tangent is exact), so
+        x(t1) ~ x0 + (1/t1 - 1/t) dx/d(1/t) = x0 - (t/t1)(t1 - t) dx/dt.
+        With fargs carrying wc = t1 * wcc this is x0 - r H0^{-1} G'(wc)
+        with r = (t/t1)(1 - t/t1) — no extra operands needed. Measured at
+        fem2d_P1 L=7 f64 (2x-budget baseline 289 its / 19 steps): t-tangent
+        257 its / 14 steps, 1/t-tangent 251 its / 15 steps; fem2d_P2 L=6
+        f64: 116 -> 105 its. Fewer steps because cheaper centerings keep
+        kappa at kappa0. G'(wc) is f1 with the barrier weights
+        masked to zero (bw == 0 nodes are dropped before arithmetic, so
+        this is exact, not a small-residual trick), and H0/pre0 are already
+        built at the previous center for the corrector. A fraction-to-
+        boundary bisection keeps the warm start strictly inside the barrier
+        domain; any failure falls back to the cold start. The reference has
+        no predictor (pure corrector ramp, src/mgb.jl:91-183)."""
+        ops, Dz0, wc, bw = fargs[0], fargs[1], fargs[2], fargs[3]
+        rest = fargs[4:]
+
+        def do(x0):
+            g_lin = f1(x0, ops, Dz0, wc, jnp.zeros_like(bw), *rest)
+            d, _ = solve(H0, g_lin, pre0,
+                         jnp.asarray(RTOL_LOOSE, x0.dtype))
+            step = pred_r * d
+            step = jnp.where(jnp.all(jnp.isfinite(step)), step, 0.0)
+
+            def fcond(c):
+                s, accepted, k = c
+                return (~accepted) & (k < 8)
+
+            def fbody(c):
+                s, accepted, k = c
+                fin = Y.isfinite(f0(x0 - s * step, *fargs))
+                return (jnp.where(fin, s, 0.5 * s), fin, k + 1)
+
+            s, accepted, _ = lax.while_loop(
+                fcond, fbody, (jnp.asarray(1.0, x0.dtype),
+                               jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+            return x0 - jnp.where(accepted, s, 0.0) * step
+
+        return lax.cond(pred_r > 0, do, lambda x: x, x0)
+
+    def newton(x0, fargs, maxit, lambda_tol, theta, pred_r=None):
         dtype = x0.dtype
         epsT = jnp.asarray(dd_eps if dd else jnp.finfo(dtype).eps, dtype)
+        H0 = f2(x0, *fargs)
+        pre0 = make_pre(H0)
+        if pred_r is not None:
+            x0 = _predict(x0, fargs, H0, pre0, pred_r)
         y0 = f0(x0, *fargs)
         g0 = f1(x0, *fargs)
         ok0 = Y.isfinite(y0) & G.finite(g0)
-        H0 = f2(x0, *fargs)
-        pre0 = make_pre(H0)
         carry_pre = (PRE_REFRESH == "auto" and pre0 is not None
                      and _refresh_allowed(H0) and not _always_refresh(H0))
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .newton import CONVERGED, make_newton_core
+from .newton import CONVERGED, PREDICTOR, make_newton_core
 
 # ramp exit statuses
 R_RUNNING, R_TARGET, R_EARLY, R_NEED_HELP = range(4)
@@ -64,35 +64,38 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
 
     @jax.jit
     def ramp(z, Dz0, R_ell, ops, wcc, bw, args, t, kappa, t_first,
-             target, kappa0, max_newton, lambda_tol, theta, max_steps):
+             target, kappa0, max_newton, max_newton_retry, easy_its,
+             lambda_tol, theta, max_steps):
+        """``max_newton`` is the budget for a fresh attempt at a new t;
+        ``max_newton_retry`` (the base budget) caps the in-loop
+        sqrt(kappa)-ladder retries after a failure — a structural centering
+        otherwise burns the full 2x budget on every rung of the collapsing
+        ladder before the host divide&conquer takes over."""
         dtype = z.dtype
         n_J = ops.n_J
         x0 = jnp.zeros((n_J,), dtype)
-        # kappa-acceleration threshold. The reference accelerates when a
-        # step costs <= max_newton/2 its with a full multigrid sweep per
-        # step; this ramp centers at the fine level only, which runs ~1 it
-        # hotter per step, so the threshold gets a +1 — failures are cheap
-        # now (in-loop sqrt(kappa) retry, no host round trip)
-        easy_its = max_newton * 0.5 + _EASY_BONUS
 
         def wr(a, idx, pred, v):
             return a.at[idx].set(jnp.where(pred, v, a[idx]))
 
         def cond(c):
             (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
-             h_its, h_ts, h_kap, h_cdz, h_cg, status) = c
+             h_its, h_ts, h_kap, h_cdz, h_cg, status, fail_prev) = c
             return (status == R_RUNNING) & (k_att < max_steps) & (nrec < HIST)
 
         def body(c):
             (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
-             h_its, h_ts, h_kap, h_cdz, h_cg, status) = c
+             h_its, h_ts, h_kap, h_cdz, h_cg, status, fail_prev) = c
             # clamp at the target: the ramp must only REACH 1/tol, and the
             # unclamped final jump centers up to kappa x past it — the most
             # expensive centering of the ramp (see mgb_core)
             t1 = jnp.minimum(kappa * t, target)
             wc = t1 * wcc
             x, y, kits, nst, kcg = newton_core(
-                x0, (ops, Dz0, wc, bw) + args, max_newton, lambda_tol, theta)
+                x0, (ops, Dz0, wc, bw) + args,
+                jnp.where(fail_prev, max_newton_retry, max_newton),
+                lambda_tol, theta,
+                pred_r=((t / t1) * (1.0 - t / t1)) if PREDICTOR else None)
             conv = nst == CONVERGED
             Dz0n = adv_Dz(ops, Dz0, x)
             zn = adv_z(R_ell, z, x)
@@ -144,7 +147,7 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
                     jnp.where(conv_all, t1, t),
                     jnp.where(conv_all, kap_n, kap_fail), t_first_n,
                     k_att + 1, nrec_n, kits_tot,
-                    h_its, h_ts, h_kap, h_cdz, h_cg, status_n)
+                    h_its, h_ts, h_kap, h_cdz, h_cg, status_n, ~conv_all)
 
         zeros_h = jnp.zeros((HIST,), dtype)
         init = (z, z, Dz0, t, kappa, t_first,
@@ -152,10 +155,10 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
                 jnp.asarray(0, jnp.int32),
                 jnp.zeros((HIST,), jnp.int32), zeros_h, zeros_h, zeros_h,
                 jnp.zeros((HIST,), jnp.int32),
-                jnp.asarray(R_RUNNING, jnp.int32))
+                jnp.asarray(R_RUNNING, jnp.int32), jnp.asarray(False))
         out = lax.while_loop(cond, body, init)
         (z, z_unf, Dz0, t, kappa, t_first, k_att, nrec, last_its,
-         h_its, h_ts, h_kap, h_cdz, h_cg, status) = out
+         h_its, h_ts, h_kap, h_cdz, h_cg, status, _fail) = out
         return dict(z=z, z_unf=z_unf, Dz0=Dz0, t=t, kappa=kappa,
                     t_first=t_first, k_att=k_att, nrec=nrec,
                     last_its=last_its, h_its=h_its, h_ts=h_ts, h_kap=h_kap,
