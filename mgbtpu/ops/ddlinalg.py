@@ -15,6 +15,8 @@ use no matmuls); batching over the leading axis provides the parallelism.
 """
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -38,8 +40,14 @@ def dd_cholesky(Ah, Al):
     if n > _BLOCK:
         w = _BLOCK
         L11 = dd_cholesky(Ah[:, :w, :w], Al[:, :w, :w])
-        L21 = dd_tri_solve_right(L11[0], L11[1],
-                                 Ah[:, w:, :w], Al[:, w:, :w])
+        if TRI_INV:
+            # panel inverse (NS, MXU) -> L21 = A21 L11^-T as one GEMM
+            # instead of a w-step rolled substitution
+            Li11 = dd_tri_inverse(L11[0], L11[1])
+            L21 = dd_matmul_nt_any((Ah[:, w:, :w], Al[:, w:, :w]), Li11)
+        else:
+            L21 = dd_tri_solve_right(L11[0], L11[1],
+                                     Ah[:, w:, :w], Al[:, w:, :w])
         Sh, Sl = dd_syrk_sub(Ah[:, w:, w:], Al[:, w:, w:], L21[0], L21[1])
         L22 = dd_cholesky(Sh, Sl)
         zh = jnp.zeros(Ah[:, :w, w:].shape, Ah.dtype)
@@ -210,3 +218,73 @@ def dd_syrk_sub_vpu(Ch, Cl, Uh, Ul):
                          (Uh[:, None, :, :], Ul[:, None, :, :]))
     sh, sl = df64.dd_tree_sum((ph, pe), axis=3)
     return df64.dd_sub((Ch, Cl), (sh, sl))
+
+
+# ---------------------------------------------------------------------------
+# Explicit triangular inverses (Newton-Schulz): the rolled substitutions
+# above are O(n) SEQUENTIAL steps of tiny VPU work — measured 381 ms per
+# nd_factor_dd and 5.5 ms per nd_solve_dd at fem2d_P2 L=5 on a v5e, pure
+# in-program latency. Storing L^-1 turns every factor-time panel solve
+# into an Ozaki MXU GEMM and every solve-time substitution into one
+# batched dd GEMV. Safe wherever the dd factorization itself is: the seed
+# residual is ~eps32 * kappa(L) = eps32 * sqrt(kappa(A)), so Newton-Schulz
+# contracts quadratically for kappa(A) << 1/eps32^2 ~ 7e13 (the dd factor
+# itself tops out at 2^48). Application error ~ kappa(A) * 2^-48 — the
+# same grade as the substitution path's forward error bound; the GMRES-IR
+# outer absorbs the constant-factor difference.
+# ---------------------------------------------------------------------------
+
+TRI_INV = _os.environ.get("MGBTPU_DD_TRI_INV", "1") != "0"
+
+
+def dd_matmul_nt_any(A, B):
+    """dd A @ B^T for A (..., m, n), B (..., p, n): Ozaki MXU split above
+    OZAKI_MIN_INNER inner dim, elementwise-EFT VPU form below."""
+    from .ozaki import OZAKI_MIN_INNER, dd_matmul_nt
+
+    if A[0].shape[-1] >= OZAKI_MIN_INNER:
+        return dd_matmul_nt(A, B)
+    ph, pe = df64.dd_mul((A[0][..., :, None, :], A[1][..., :, None, :]),
+                         (B[0][..., None, :, :], B[1][..., None, :, :]))
+    return df64.dd_tree_sum((ph, pe), axis=-1)
+
+
+def dd_gemv(A, x, transpose=False):
+    """Batched dd matvec: A dd (Bk, n, m), x dd (Bk, m) -> dd (Bk, n)
+    (or A^T x for ``transpose``). One dd_mul + one tree-sum — a single
+    fused op chain instead of an O(n) substitution loop."""
+    Ah, Al = A
+    xh, xl = x
+    if transpose:
+        ph, pe = df64.dd_mul((Ah, Al), (xh[:, :, None], xl[:, :, None]))
+        return df64.dd_tree_sum((ph, pe), axis=1)
+    ph, pe = df64.dd_mul((Ah, Al), (xh[:, None, :], xl[:, None, :]))
+    return df64.dd_tree_sum((ph, pe), axis=2)
+
+
+def dd_tri_inverse(Lh, Ll, steps=2):
+    """Batched dd inverse of lower-triangular (Bk, n, n).
+
+    Seed: XLA's native batched f32 triangular solve against I (residual
+    ~eps32 * kappa(L)); refinement: ``steps`` Newton-Schulz iterations
+    X <- X (2I - L X) with both products in dd on the MXU (Ozaki split).
+    Each iteration squares the residual, so two steps land at the dd
+    floor for every front the dd factorization can represent. The
+    strictly-upper part is re-zeroed each step (NS preserves
+    triangularity exactly; the mask stops eps-level fill from
+    compounding)."""
+    n = Lh.shape[-1]
+    ii = jnp.arange(n)
+    tril = (ii[:, None] >= ii[None, :]).astype(Lh.dtype)
+    Ib = jnp.broadcast_to(jnp.eye(n, dtype=Lh.dtype), Lh.shape)
+    X0 = lax.linalg.triangular_solve(Lh, Ib, left_side=True, lower=True)
+    X = (X0 * tril, jnp.zeros_like(X0))
+    twoI = (2.0 * Ib, jnp.zeros_like(X0))
+    for _ in range(steps):
+        Xt = (jnp.swapaxes(X[0], -1, -2), jnp.swapaxes(X[1], -1, -2))
+        LX = dd_matmul_nt_any((Lh, Ll), Xt)
+        Rh, Rl = df64.dd_sub(twoI, LX)
+        Xn = dd_matmul_nt_any(X, (jnp.swapaxes(Rh, -1, -2),
+                                  jnp.swapaxes(Rl, -1, -2)))
+        X = (Xn[0] * tril, Xn[1] * tril)
+    return X

@@ -554,7 +554,8 @@ def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
     assembled fronts indefinite at any useful shift (measured: breakdown
     for shift <= 1e-9 with true lambda_min = 1.7e-10)."""
     from . import df64
-    from .ddlinalg import dd_cholesky, dd_syrk_sub, dd_tri_solve_right
+    from .ddlinalg import (TRI_INV, dd_cholesky, dd_matmul_nt_any,
+                           dd_syrk_sub, dd_tri_inverse, dd_tri_solve_right)
 
     fact = []
     S_prev = None
@@ -604,7 +605,15 @@ def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
         Ch, Cl = (Fh[:, amax:amax + bmax, amax:amax + bmax],
                   Fl[:, amax:amax + bmax, amax:amax + bmax])
         Lf = dd_cholesky(Ah, Al)
-        U = dd_tri_solve_right(Lf[0], Lf[1], Bh, Bl)
+        if TRI_INV:
+            # store L^-1 (Newton-Schulz, MXU) instead of L: U becomes one
+            # Ozaki GEMM here and every solve-time substitution becomes a
+            # batched dd GEMV (ops/ddlinalg.py rationale)
+            Li = dd_tri_inverse(Lf[0], Lf[1])
+            U = dd_matmul_nt_any((Bh, Bl), Li)
+            Lf = Li
+        else:
+            U = dd_tri_solve_right(Lf[0], Lf[1], Bh, Bl)
         S_prev = dd_syrk_sub(Ch, Cl, U[0], U[1])
         fact.append((Lf, U))
     return tuple(fact)
@@ -616,9 +625,13 @@ def nd_solve_dd(dp: "NDDev", fact, rh, rl=None):
     The forward-elimination updates land on shared separator dofs through
     the inverse-incidence gather (``NDDevicePlan.b_inc``) + dd tree-sum +
     ``dd_sub`` — a hi/lo scatter-add would give the application a backward
-    error ~ eps(f32), i.e. a preconditioned kappa ~ eps32 * t."""
+    error ~ eps(f32), i.e. a preconditioned kappa ~ eps32 * t.
+
+    With TRI_INV (default) the factor stores L^-1, so every substitution
+    here is a single batched dd GEMV instead of an O(front)-step rolled
+    loop — the application drops from ~5.5 ms to ~MXU/VPU throughput."""
     from . import df64
-    from .ddlinalg import dd_tri_solve_left
+    from .ddlinalg import TRI_INV, dd_gemv, dd_tri_solve_left
 
     if rl is None:
         rl = jnp.zeros_like(rh)
@@ -627,7 +640,10 @@ def nd_solve_dd(dp: "NDDev", fact, rh, rl=None):
     ys = []
     for li, L in enumerate(dp.levels):
         (Lh, Ll), (Uh, Ul) = fact[li]
-        yA = dd_tri_solve_left(Lh, Ll, rh[L.adofs], rl[L.adofs])
+        if TRI_INV:
+            yA = dd_gemv((Lh, Ll), (rh[L.adofs], rl[L.adofs]))
+        else:
+            yA = dd_tri_solve_left(Lh, Ll, rh[L.adofs], rl[L.adofs])
         ys.append(yA)
         ph, pe = df64.dd_mul((Uh, Ul), (yA[0][:, None, :], yA[1][:, None, :]))
         uh, ul = df64.dd_tree_sum((ph, pe), axis=2)
@@ -646,7 +662,10 @@ def nd_solve_dd(dp: "NDDev", fact, rh, rl=None):
                              (xB[0][:, None, :], xB[1][:, None, :]))
         th, tl = df64.dd_tree_sum((ph, pe), axis=2)
         th, tl = df64.dd_sub(ys[li], (th, tl))
-        xA = dd_tri_solve_left(Lh, Ll, th, tl, transpose=True)
+        if TRI_INV:
+            xA = dd_gemv((Lh, Ll), (th, tl), transpose=True)
+        else:
+            xA = dd_tri_solve_left(Lh, Ll, th, tl, transpose=True)
         ok = L.adofs < dp.n_J
         xh = xh.at[L.adofs].set(jnp.where(ok, xA[0], 0.0))
         xl = xl.at[L.adofs].set(jnp.where(ok, xA[1], 0.0))
