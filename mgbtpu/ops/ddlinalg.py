@@ -262,6 +262,110 @@ def dd_gemv(A, x, transpose=False):
     return df64.dd_tree_sum((ph, pe), axis=2)
 
 
+def dd_spd_inverse(Ah, Al, tol=2.0 ** -40, max_steps=24,
+                   sigma_rel=16 * 2.0 ** -23):
+    """Batched dd inverse of SPD (Bk, n, n) — the all-GEMM front kernel.
+
+    Seed: one native batched f32 Cholesky of the SHIFTED matrix
+    A + sigma*I (sigma = ``sigma_rel`` * max diag keeps the f32
+    factorization unconditionally PD), f32 triangular inverse, M0 = Li^T
+    Li. Refinement: Newton-Schulz M <- M (2I - A M) with both products in
+    dd on the MXU (Ozaki split). The shifted seed converges GLOBALLY for
+    SPD A: eigenvalues of A M0 are lam/(lam+sigma) in (0,1), so the
+    residual contracts as (sigma/(lam+sigma))^(2^k) — about
+    log2(33 * sigma/lambda_min) steps to the dd floor, i.e. ~16 steps at
+    the measured deep-t lambda_min ~ 1.7e-10 and 5-8 steps for ordinary
+    fronts. The ``lax.while_loop`` exits per-level as soon as the batch
+    max-residual crosses ``tol``, so easy levels pay only their own steps.
+
+    Why this shape: the rolled dd Cholesky + substitutions are O(n)
+    SEQUENTIAL tiny VPU steps — measured 381 ms per nd_factor_dd at
+    fem2d_P2 L=5 on a v5e, pure in-program latency. Here every step is
+    two batched GEMMs; there are no rolled loops at all."""
+    n = Ah.shape[-1]
+    Ib = jnp.broadcast_to(jnp.eye(n, dtype=Ah.dtype), Ah.shape)
+    dg = jnp.diagonal(Ah, axis1=-2, axis2=-1)
+    smax = jnp.maximum(jnp.max(dg, axis=-1), jnp.asarray(1e-30, Ah.dtype))
+    sigma = (sigma_rel * smax)[..., None, None]
+    Lc = lax.linalg.cholesky(Ah + sigma * Ib)
+    Li = lax.linalg.triangular_solve(Lc, Ib, left_side=True, lower=True)
+    nb = Li.ndim - 2
+    dn = (((Li.ndim - 2,), (Li.ndim - 2,)),
+          (tuple(range(nb)), tuple(range(nb))))
+    M0 = lax.dot_general(Li, Li, dn, preferred_element_type=Ah.dtype)
+
+    def body(carry):
+        Mh, Ml, _res, k = carry
+        # A @ M (M symmetric, so the nt form needs no transpose)
+        AMh, AMl = dd_matmul_nt_any((Ah, Al), (Mh, Ml))
+        res = jnp.max(jnp.abs(AMh - Ib))
+        # M (2I - AM) = 2M - M @ (AM)
+        Xh = jnp.swapaxes(AMh, -1, -2)
+        Xl = jnp.swapaxes(AMl, -1, -2)
+        Ph, Pl = dd_matmul_nt_any((Mh, Ml), (Xh, Xl))
+        Nh, Nl = df64.dd_sub(df64.dd_add((Mh, Ml), (Mh, Ml)), (Ph, Pl))
+        # exact symmetrization (halving is exact; drift would compound)
+        Nh, Nl = df64.dd_add((Nh, Nl), (jnp.swapaxes(Nh, -1, -2),
+                                        jnp.swapaxes(Nl, -1, -2)))
+        return (0.5 * Nh, 0.5 * Nl, res, k + 1)
+
+    def cond(carry):
+        _Mh, _Ml, res, k = carry
+        return (k < max_steps) & (res > tol)
+
+    Mh, Ml, _, _ = lax.while_loop(
+        cond, body, (M0, jnp.zeros_like(M0),
+                     jnp.asarray(jnp.inf, Ah.dtype),
+                     jnp.asarray(0, jnp.int32)))
+    return Mh, Ml
+
+
+def dd_cholesky_ir(Ah, Al, steps=3, sigma_rel=4 * 2.0 ** -23):
+    """Batched dd Cholesky by ITERATIVE REFINEMENT of the f32 factor —
+    all GEMMs, no rolled loops. For fronts with kappa(A) below ~1/eps32.
+
+    Seed: native batched f32 Cholesky of A + sigma*I (backward stable:
+    residual E0 = A - L0 L0^T is ~eps32*||A|| REGARDLESS of kappa — unlike
+    the inverse-NS residual, no kappa amplification). Refinement: Newton
+    on the factor equation, dL = L Phi(L^-1 E L^-T) with Phi = tril
+    halving the diagonal; the triangular inverse is taken in f32 (native)
+    since it only preconditions the correction. Residual after one step
+    ~ kappa * eps32^2 * ||A||, so 2-3 steps reach the dd floor for
+    kappa <= ~1e6; the iteration DIVERGES once kappa*||E|| > 1, i.e. this
+    is NOT a replacement for the sequential dd factorization at the
+    deep-t separator fronts (kappa up to 2^48) — see dd_spd_inverse's
+    docstring for the measured instability of the inverse-form NS there.
+
+    Returns dd (Lh, Ll) lower-triangular."""
+    n = Ah.shape[-1]
+    ii = jnp.arange(n)
+    tril = (ii[:, None] >= ii[None, :]).astype(Ah.dtype)
+    Ib = jnp.broadcast_to(jnp.eye(n, dtype=Ah.dtype), Ah.shape)
+    dg = jnp.diagonal(Ah, axis1=-2, axis2=-1)
+    smax = jnp.maximum(jnp.max(dg, axis=-1), jnp.asarray(1e-30, Ah.dtype))
+    sigma = (sigma_rel * smax)[..., None, None]
+    L = (lax.linalg.cholesky(Ah + sigma * Ib), jnp.zeros_like(Ah))
+    half_diag = tril - 0.5 * jnp.eye(n, dtype=Ah.dtype)
+    for _ in range(steps):
+        Eh, El = dd_syrk_sub(Ah, Al, L[0], L[1])      # A - L L^T, dd
+        Li = lax.linalg.triangular_solve(L[0], Ib, left_side=True,
+                                         lower=True)
+        # T = Li E Li^T (E symmetric): Li @ (Li @ E)^T
+        P = dd_matmul_nt_any((jnp.broadcast_to(Li, Eh.shape),
+                              jnp.zeros_like(Eh)),
+                             (jnp.swapaxes(Eh, -1, -2),
+                              jnp.swapaxes(El, -1, -2)))
+        T = dd_matmul_nt_any((jnp.broadcast_to(Li, Eh.shape),
+                              jnp.zeros_like(Eh)), P)
+        Ph = T[0] * half_diag
+        Pl = T[1] * half_diag
+        dL = dd_matmul_nt_any(L, (jnp.swapaxes(Ph, -1, -2),
+                                  jnp.swapaxes(Pl, -1, -2)))
+        Lh2, Ll2 = df64.dd_add(L, dL)
+        L = (Lh2 * tril, Ll2 * tril)
+    return L
+
+
 def dd_tri_inverse(Lh, Ll, steps=2):
     """Batched dd inverse of lower-triangular (Bk, n, n).
 

@@ -542,6 +542,64 @@ def nd_solve_ref(plan: NDPlan, fact, rhs: np.ndarray):
 # degenerated to 1000-2800 its/step at t >= 8e5)
 # ---------------------------------------------------------------------------
 
+import os as _os
+
+# Leaf assembly form: "gemm" (default) = one-hot incidence GEMMs on the
+# MXU; "gather" = the two-axis gather + dd tree-sum (the original form —
+# measured at ~700 ms and ~850 s of compile at fem2d_P2 L=5 on a v5e,
+# ~100% of nd_factor_dd's cost; kept as the oracle/fallback).
+ND_ASM = _os.environ.get("MGBTPU_ND_ASM", "gemm")
+
+
+def _leaf_assemble_dd(dp: "NDDev", Heh, Hel):
+    """Assemble the dd leaf fronts (nk0, f0+1, f0+1) from element blocks.
+
+    GEMM form: with P the per-element one-hot local->front incidence
+    (built in-program from ``leaf_loc`` by an iota compare — 0/1 entries,
+    exact in bf16), F = sum_e P_e^T He_e P_e becomes two exact-operand
+    Ozaki GEMMs (ops/ozaki.py dd_matmul_exact_nt) per leaf:
+    T = He P (inner dim C) and F = T~^T P~ (inner dim m*C). Duplicate
+    padded columns map to the same slot and ADD — their panels are zero
+    (solver/levelops.py:441), so the sum is exact; this mirrors the f64
+    oracle's np.add.at semantics. Everything dd-exact: a plain hi/lo
+    scatter-add would round the hi words at eps(f32) (see nd_factor_dd).
+    """
+    from .ozaki import dd_matmul_exact_nt
+
+    nk0, m_max = dp.elems_of_leaf.shape
+    f0p1 = dp.leaf_loc_inv.shape[2]
+    N, C, _ = Heh.shape
+    if ND_ASM == "gather":
+        eh = jnp.pad(Heh, ((0, 1), (0, 1), (0, 1)))
+        el = jnp.pad(Hel, ((0, 1), (0, 1), (0, 1)))
+        ee = dp.elems_of_leaf[:, :, None, None]
+        la = dp.leaf_loc_inv[:, :, :, None]
+        lb = dp.leaf_loc_inv[:, :, None, :]
+        from . import df64 as _df
+        return _df.dd_tree_sum((eh[ee, la, lb], el[ee, la, lb]), axis=1)
+    eh = jnp.pad(Heh, ((0, 1), (0, 0), (0, 0)))
+    el = jnp.pad(Hel, ((0, 1), (0, 0), (0, 0)))
+    Hb = (eh[dp.elems_of_leaf], el[dp.elems_of_leaf])   # (nk0, m, C, C)
+    ll = jnp.concatenate(
+        [dp.leaf_loc, jnp.full((1, C), f0p1 - 1, dp.leaf_loc.dtype)])
+    slots = ll[dp.elems_of_leaf]                        # (nk0, m, C)
+    P = (slots[..., None]
+         == jnp.arange(f0p1, dtype=slots.dtype)).astype(Heh.dtype)
+    # T[l,t,a,g] = sum_b He[l,t,a,b] P[l,t,b,g]
+    Th, Tl = dd_matmul_exact_nt(Hb, jnp.swapaxes(P, -1, -2))
+    Th = Th.reshape(nk0, m_max * C, f0p1)
+    Tl = Tl.reshape(nk0, m_max * C, f0p1)
+    Pf = P.reshape(nk0, m_max * C, f0p1)
+    # F[l,f,g] = sum_(t,a) T[l,(t,a),f] P[l,(t,a),g]  (symmetric)
+    Fh, Fl = dd_matmul_exact_nt(
+        (jnp.swapaxes(Th, -1, -2), jnp.swapaxes(Tl, -1, -2)),
+        jnp.swapaxes(Pf, -1, -2))
+    from . import df64 as _df
+    Fh, Fl = _df.dd_add((Fh, Fl), (jnp.swapaxes(Fh, -1, -2),
+                                   jnp.swapaxes(Fl, -1, -2)))
+    return 0.5 * Fh, 0.5 * Fl
+
+
 def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
     """Multifrontal factorization with dd fronts. ``He`` is a dd pair of
     (N, C, C) element blocks. Returns per-level ((Lh, Ll), (Uh, Ul)).
@@ -563,13 +621,7 @@ def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
         amax, bmax, nk = L.amax, L.bmax, L.nk
         f = amax + bmax
         if li == 0:
-            eh = jnp.pad(Heh, ((0, 1), (0, 1), (0, 1)))
-            el = jnp.pad(Hel, ((0, 1), (0, 1), (0, 1)))
-            ee = dp.elems_of_leaf[:, :, None, None]
-            la = dp.leaf_loc_inv[:, :, :, None]
-            lb = dp.leaf_loc_inv[:, :, None, :]
-            Fh, Fl = df64.dd_tree_sum((eh[ee, la, lb], el[ee, la, lb]),
-                                      axis=1)
+            Fh, Fl = _leaf_assemble_dd(dp, Heh, Hel)
         else:
             invL, invR = dp.parent_gather[li - 1]
             Sh = jnp.pad(S_prev[0], ((0, 0), (0, 1), (0, 1)))

@@ -134,6 +134,33 @@ def dd_matmul_nt(A, B):
     return oh * sc, ol * sc
 
 
+def dd_matmul_exact_nt(A, B, b_bits: int = 1):
+    """dd A (..., m, n) @ exact B^T (B (..., p, n)) where B's entries are
+    EXACTLY representable in bf16 with <= ``b_bits`` significand bits
+    (e.g. 0/1 incidence panels: 1 bit). Only A is sliced, so the product
+    costs S matmuls instead of S(S+1)/2 — the fast path of the one-hot
+    GEMM-form front assembly (ops/ndchol.py). Exactness: an s-bit slice
+    times a b-bit value is exact in f32, and a length-n accumulation of
+    such products is exact when s + b_bits + ceil(log2 n) <= 22."""
+    Ah, Al = A
+    n = Ah.shape[-1]
+    lg = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    s = max(1, min(7, 22 - b_bits - lg))
+    S = int(np.ceil(_TARGET_BITS / s)) + 1
+    sa, sa_inv = _row_scale(Ah, axis=-1)
+    ta = _slices(Ah * sa_inv, Al * sa_inv, s, S)
+    Bb = B.astype(jnp.bfloat16)
+
+    nbatch = Ah.ndim - 2
+    dnums = (((Ah.ndim - 1,), (B.ndim - 1,)),
+             (tuple(range(nbatch)), tuple(range(nbatch))))
+    parts = [lax.dot_general(ta[i], Bb, dnums,
+                             preferred_element_type=jnp.float32)
+             for i in range(S)]
+    oh, ol = _combine(parts)
+    return oh * sa, ol * sa
+
+
 def dd_syrk_ozaki(C, U):
     """dd C - U @ U^T with one slicing of U (SYRK symmetry: P_ij' = P_ji)."""
     Ch, Cl = C

@@ -238,12 +238,22 @@ def _always_refresh(H):
     the near-null subspace of the equilibrated Hessian rotates along the
     path, so even one stale step degrades it to hundreds of CG its at deep
     t. The O(n^1.5) refactorization is far cheaper than the stale-pre CG
-    bill (measured at L=3: 13k CG its frozen vs ~4/solve fresh)."""
+    bill (measured at L=3: 13k CG its frozen vs ~4/solve fresh).
+
+    ``MGBTPU_ND_REFRESH=auto`` opts the dd ND factor into the symptom-
+    driven policy instead (rebuild when the last solve crossed
+    PRE_REFRESH_ND_AT CG its): on TPU the dd refactorization is
+    latency-dominated (~0.4 s at L=5), so trading a few stale-pre CG its
+    (~4 ms each) for skipped rebuilds can win wall-clock."""
     from .levelops import GramHessian
 
-    return (isinstance(H, GramHessian)
+    return (_ND_REFRESH != "auto"
+            and isinstance(H, GramHessian)
             and getattr(H.ctx, "nd", None) is not None
             and H.Ydd is not None and ND_DD)
+
+
+_ND_REFRESH = _os.environ.get("MGBTPU_ND_REFRESH", "always")
 # V-cycle smoother: "cheby" (Chebyshev polynomial on D^-1 H, degree
 # MGBTPU_CHEB_DEG) or "jacobi" (one damped sweep, omega=0.7)
 SMOOTHER = _os.environ.get("MGBTPU_SMOOTHER", "cheby")
