@@ -184,6 +184,9 @@ class _AtIdx:
 
 jax.tree_util.register_pytree_node(
     DD, lambda d: d.tree_flatten(), DD.tree_unflatten)
+from ..utils.pytree import register_export_serialization  # noqa: E402
+
+register_export_serialization(DD)
 
 
 # ---------------------------------------------------------------------------

@@ -129,6 +129,13 @@ class ProblemKernels:
         self.fns = make_level_fns(Fs)
         self._newton = make_newton(*self.fns, line_search=line_search,
                                    dd=self.dd)
+        if mesh is None:
+            # AOT export cache: skip Python re-tracing of the Newton
+            # program in warm processes (utils/aot.py; exports bake
+            # shardings, so mesh runs use the plain jit)
+            from ..utils.aot import XJit
+
+            self._newton = XJit(self._newton, "newton")
         F0 = Fs[0]
         self._node_f0 = jax.jit(lambda args, Dz: jax.vmap(F0)(*args, Dz))
         _, _f1, _f2 = self.fns
@@ -156,6 +163,10 @@ class ProblemKernels:
             return (fl(g_c @ n_c), fl(g_phi @ n_c) + fl(g_c @ n_phi))
 
         self._matched = jax.jit(_matched)
+        if mesh is None:
+            from ..utils.aot import XJit
+
+            self._matched = XJit(self._matched, "matched")
 
     # Levels above DENSE_MAX coefficients solve by multigrid-preconditioned
     # CG (matrix-free Gram Hessian) instead of a dense factorization; the
@@ -336,9 +347,14 @@ class ProblemKernels:
         if key not in self._ramp_cache:
             from .ramp import make_ramp
 
-            self._ramp_cache[key] = make_ramp(
+            ramp = make_ramp(
                 self.fns, line_search=self.line_search, dd=self.dd,
                 feas_block=feas_block)
+            if self.mesh is None:
+                from ..utils.aot import XJit
+
+                ramp = XJit(ramp, f"ramp{'' if feas_block is None else 'F'}")
+            self._ramp_cache[key] = ramp
         return self._ramp_cache[key]
 
     def run_ramp(self, z, t, kappa, t_first, wcc, bw, args, *, target,

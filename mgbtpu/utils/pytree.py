@@ -19,9 +19,35 @@ def pytree_dataclass(cls=None, *, static=()):
         data = [f.name for f in fields if f.name not in static]
         meta = [f.name for f in fields if f.name in static]
         jax.tree_util.register_dataclass(c, data_fields=data, meta_fields=meta)
+        register_export_serialization(c)
         return c
 
     return wrap(cls) if cls is not None else wrap
+
+
+def register_export_serialization(c):
+    """Make a custom pytree class serializable by ``jax.export``.
+
+    Needed by the AOT export cache (``utils/aot.py``): exported modules
+    record the call-signature treedefs, and custom nodes must declare how
+    to (de)serialize their aux data. Static fields here are plain ints/
+    bools/strings, so pickle round-trips them exactly; classes with
+    unpicklable statics (e.g. ``Convex`` holding barrier callables) fail
+    registration lazily at export time, which the cache treats as a plain
+    fallback to the un-exported jit.
+    """
+    import pickle
+
+    try:
+        from jax import export as jexport
+
+        jexport.register_pytree_node_serialization(
+            c, serialized_name=f"{c.__module__}.{c.__qualname__}",
+            serialize_auxdata=pickle.dumps,
+            deserialize_auxdata=pickle.loads)
+    except Exception:  # pragma: no cover - older jax without export
+        pass
+    return c
 
 
 def to_dev(x, dtype=None):
