@@ -307,5 +307,4 @@ class XJit:
             return jax.jit(exp.call)
         except Exception as e:
             log.warning("aot export failed for %s: %s", self._name, e)
-            self._calls[None] = True  # remember we fell back once
             return self._jfn
