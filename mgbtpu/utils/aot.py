@@ -88,6 +88,31 @@ def _abstract_sig(args, kwargs) -> str:
     return "\n".join(parts)
 
 
+def _evict_lru(keep=None):
+    """Bound the cache dir (default 16 GB, MGBTPU_AOT_CACHE_MAX bytes):
+    blobs are keyed by package-source hash, so every commit strands the
+    previous ones. Evict least-recently-used until under the cap."""
+    try:
+        cap = int(os.environ.get("MGBTPU_AOT_CACHE_MAX", 16 << 30))
+        d = cache_dir()
+        ents = []
+        for fn in os.listdir(d):
+            if fn.endswith(".jaxexp"):
+                p = os.path.join(d, fn)
+                st = os.stat(p)
+                ents.append((st.st_atime, st.st_size, p))
+        total = sum(e[1] for e in ents)
+        for atime, size, p in sorted(ents):
+            if total <= cap:
+                break
+            if p == keep:
+                continue
+            os.unlink(p)
+            total -= size
+    except OSError:  # pragma: no cover - concurrent eviction
+        pass
+
+
 class _Unfingerprintable(Exception):
     pass
 
@@ -304,6 +329,7 @@ class XJit:
                 os.replace(tmp, path)  # atomic vs concurrent writers
             log.info("aot cache store: %s (%.1f MB)",
                      os.path.basename(path), len(blob) / 1e6)
+            _evict_lru(keep=path)
             return jax.jit(exp.call)
         except Exception as e:
             log.warning("aot export failed for %s: %s", self._name, e)

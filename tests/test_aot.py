@@ -137,3 +137,19 @@ def test_checkpoint_warmstart_not_poisoned_by_aot(tmp_path, monkeypatch):
     monkeypatch.setenv("MGBTPU_AOT_CACHE", "0")
     z15_ref = mgb_solve(assemble(mg, p=1.5)).z
     np.testing.assert_allclose(z15, z15_ref, atol=1e-8)
+
+
+def test_evict_lru(tmp_path, monkeypatch):
+    monkeypatch.setenv("MGBTPU_AOT_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("MGBTPU_AOT_CACHE_MAX", "600")
+    import time
+    for i in range(4):
+        p = tmp_path / f"b{i}.jaxexp"
+        p.write_bytes(b"x" * 256)
+        t = 1_000_000 + i
+        os.utime(p, (t, t))
+    aot._evict_lru(keep=str(tmp_path / "b0.jaxexp"))
+    left = sorted(f.name for f in tmp_path.iterdir())
+    # b0 is pinned (keep), b1 (oldest unpinned) evicted until under 600B
+    assert "b3.jaxexp" in left and "b0.jaxexp" in left
+    assert sum(1 for f in left) <= 3
