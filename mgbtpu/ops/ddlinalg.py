@@ -40,7 +40,7 @@ def dd_cholesky(Ah, Al):
     if n > _BLOCK:
         w = _BLOCK
         L11 = dd_cholesky(Ah[:, :w, :w], Al[:, :w, :w])
-        if TRI_INV:
+        if TRI_INV or TRI_PANEL:
             # panel inverse (NS, MXU) -> L21 = A21 L11^-T as one GEMM
             # instead of a w-step rolled substitution
             Li11 = dd_tri_inverse(L11[0], L11[1])
@@ -221,20 +221,40 @@ def dd_syrk_sub_vpu(Ch, Cl, Uh, Ul):
 
 
 # ---------------------------------------------------------------------------
-# Explicit triangular inverses (Newton-Schulz): the rolled substitutions
-# above are O(n) SEQUENTIAL steps of tiny VPU work — measured 381 ms per
-# nd_factor_dd and 5.5 ms per nd_solve_dd at fem2d_P2 L=5 on a v5e, pure
-# in-program latency. Storing L^-1 turns every factor-time panel solve
-# into an Ozaki MXU GEMM and every solve-time substitution into one
-# batched dd GEMV. Safe wherever the dd factorization itself is: the seed
-# residual is ~eps32 * kappa(L) = eps32 * sqrt(kappa(A)), so Newton-Schulz
-# contracts quadratically for kappa(A) << 1/eps32^2 ~ 7e13 (the dd factor
-# itself tops out at 2^48). Application error ~ kappa(A) * 2^-48 — the
-# same grade as the substitution path's forward error bound; the GMRES-IR
-# outer absorbs the constant-factor difference.
+# Triangular inverses. The rolled substitutions above are O(n) SEQUENTIAL
+# steps of tiny VPU work — measured 381 ms per nd_factor_dd and 5.5 ms per
+# nd_solve_dd at fem2d_P2 L=5 on a v5e, pure in-program latency. Two ways
+# to buy that back with inverses:
+#
+#   "1"      store the FULL explicit inverse L^-1 (Newton-Schulz on the
+#            MXU) and apply by one dd GEMV. Fast but NUMERICALLY UNSAFE
+#            at depth: the *application* y = L^-1 r cancels — its error
+#            is ~eps_dd * ||L^-1|| * ||r|| >> eps_dd * ||y|| when
+#            kappa(L) is large, and no NS step count fixes it (measured:
+#            |I - M A| plateaus at 3.8e-3 on a kappa=1e10 SPD probe vs
+#            2.4e-5 for substitution; at fem2d_P2 L=6 the ramp CG total
+#            blew up 127 -> 1907).
+#   "panel"  (default) PARTITIONED INVERSE: keep L's off-diagonal blocks
+#            and invert only the diagonal _BLOCK x _BLOCK panels in
+#            place. Applies run panel-by-panel — the inter-panel updates
+#            multiply by L entries (backward stable) and only the w-sized
+#            panel inverses are applied explicitly, so the measured
+#            quality matches substitution (probe: 3.5e-5 vs 2.4e-5)
+#            while the sequential depth drops n -> ceil(n/_BLOCK) and
+#            the factor-time panel solves stay one Ozaki MXU GEMM each.
+#   "0"      pure rolled substitution (oracle/fallback).
 # ---------------------------------------------------------------------------
 
-TRI_INV = _os.environ.get("MGBTPU_DD_TRI_INV", "1") != "0"
+TRI_MODE = _os.environ.get("MGBTPU_DD_TRI_INV", "panel")
+TRI_INV = TRI_MODE == "1"
+TRI_PANEL = TRI_MODE not in ("0", "1")
+# Newton-Schulz iteration count for the explicit (panel) inverses. The
+# f32 triangular-solve seed has residual ~eps32 * kappa(panel); each NS
+# step squares it, so 2 steps reach the dd floor for every panel the dd
+# factorization can represent. Extra steps measurably do NOT improve the
+# full-inverse apply (the plateau above is application rounding, not
+# inverse quality).
+NS_STEPS = int(_os.environ.get("MGBTPU_DD_NS_STEPS", 2))
 
 
 def dd_matmul_nt_any(A, B):
@@ -366,17 +386,19 @@ def dd_cholesky_ir(Ah, Al, steps=3, sigma_rel=4 * 2.0 ** -23):
     return L
 
 
-def dd_tri_inverse(Lh, Ll, steps=2):
+def dd_tri_inverse(Lh, Ll, steps=None):
     """Batched dd inverse of lower-triangular (Bk, n, n).
 
     Seed: XLA's native batched f32 triangular solve against I (residual
     ~eps32 * kappa(L)); refinement: ``steps`` Newton-Schulz iterations
     X <- X (2I - L X) with both products in dd on the MXU (Ozaki split).
-    Each iteration squares the residual, so two steps land at the dd
-    floor for every front the dd factorization can represent. The
+    Each iteration squares the residual; NS_STEPS (default 2) lands at
+    the dd floor for every panel the dd factorization can represent. The
     strictly-upper part is re-zeroed each step (NS preserves
     triangularity exactly; the mask stops eps-level fill from
     compounding)."""
+    if steps is None:
+        steps = NS_STEPS
     n = Lh.shape[-1]
     ii = jnp.arange(n)
     tril = (ii[:, None] >= ii[None, :]).astype(Lh.dtype)
@@ -392,3 +414,137 @@ def dd_tri_inverse(Lh, Ll, steps=2):
                                   jnp.swapaxes(Rl, -1, -2)))
         X = (Xn[0] * tril, Xn[1] * tril)
     return X
+
+
+def _pad_pform(Lh, Ll, n, N):
+    """Pad a (B, n, n) triangular dd factor to (B, N, N) with identity
+    tail panels (unit diagonal, zero coupling) so padded panels invert
+    to themselves."""
+    pad = N - n
+    Lh = jnp.pad(Lh, ((0, 0), (0, pad), (0, pad)))
+    Ll = jnp.pad(Ll, ((0, 0), (0, pad), (0, pad)))
+    tail = jnp.arange(n, N)
+    Lh = Lh.at[:, tail, tail].set(1.0)
+    return Lh, Ll
+
+
+def dd_tri_pinv(Lh, Ll, steps=None):
+    """Partitioned-inverse (P-) form of a batched dd lower-triangular
+    factor (B, n, n): the diagonal ``_BLOCK`` panels are replaced IN
+    PLACE by their dd inverses (Newton-Schulz, ``dd_tri_inverse``); the
+    strictly-lower off-diagonal blocks keep L itself. Same storage as L.
+    Applies via ``dd_tri_solve_left_pinv`` / ``dd_tri_solve_right_pinv``
+    run at substitution-grade accuracy (see the TRI_MODE note above)
+    with sequential depth ceil(n/_BLOCK)."""
+    B, n, _ = Lh.shape
+    w = _BLOCK
+    if n <= w:
+        return dd_tri_inverse(Lh, Ll, steps)
+    k = -(-n // w)
+    N = k * w
+    if N != n:
+        Lh, Ll = _pad_pform(Lh, Ll, n, N)
+    idx = jnp.arange(k)
+    Dh = Lh.reshape(B, k, w, k, w)[:, idx, :, idx, :]   # (k, B, w, w)
+    Dl = Ll.reshape(B, k, w, k, w)[:, idx, :, idx, :]
+    ih, il = dd_tri_inverse(Dh.reshape(k * B, w, w),
+                            Dl.reshape(k * B, w, w), steps)
+    ih = ih.reshape(k, B, w, w)
+    il = il.reshape(k, B, w, w)
+    Ph = Lh.reshape(B, k, w, k, w).at[:, idx, :, idx, :].set(ih)
+    Pl = Ll.reshape(B, k, w, k, w).at[:, idx, :, idx, :].set(il)
+    return (Ph.reshape(B, N, N)[:, :n, :n],
+            Pl.reshape(B, N, N)[:, :n, :n])
+
+
+def dd_tri_solve_left_pinv(Ph, Pl, bh, bl, transpose=False):
+    """Solve L y = b (or L^T y = b) where (Ph, Pl) is the P-form factor
+    from ``dd_tri_pinv``: b dd (Bk, n). ceil(n/_BLOCK) sequential steps,
+    each one masked dd GEMV against the panel row/column block plus a
+    w x w panel-inverse apply."""
+    Bk, n = bh.shape
+    w = _BLOCK
+    if n <= w:
+        return dd_gemv((Ph, Pl), (bh, bl), transpose=transpose)
+    k = -(-n // w)
+    N = k * w
+    if N != n:
+        Ph, Pl = _pad_pform(Ph, Pl, n, N)
+        bh = jnp.pad(bh, ((0, 0), (0, N - n)))
+        bl = jnp.pad(bl, ((0, 0), (0, N - n)))
+    idx = jnp.arange(N)
+
+    def step(i, carry, trans):
+        yh, yl = carry
+        if trans:
+            blk_h = lax.dynamic_slice(Ph, (0, 0, i * w), (Bk, N, w))
+            blk_l = lax.dynamic_slice(Pl, (0, 0, i * w), (Bk, N, w))
+            m = (idx >= (i + 1) * w)[None, :, None]
+            ph, pe = df64.dd_mul((jnp.where(m, blk_h, 0.0),
+                                  jnp.where(m, blk_l, 0.0)),
+                                 (yh[:, :, None], yl[:, :, None]))
+            ah, al = df64.dd_tree_sum((ph, pe), axis=1)
+        else:
+            blk_h = lax.dynamic_slice(Ph, (0, i * w, 0), (Bk, w, N))
+            blk_l = lax.dynamic_slice(Pl, (0, i * w, 0), (Bk, w, N))
+            m = (idx < i * w)[None, None, :]
+            ph, pe = df64.dd_mul((jnp.where(m, blk_h, 0.0),
+                                  jnp.where(m, blk_l, 0.0)),
+                                 (yh[:, None, :], yl[:, None, :]))
+            ah, al = df64.dd_tree_sum((ph, pe), axis=2)
+        rbh = lax.dynamic_slice(bh, (0, i * w), (Bk, w))
+        rbl = lax.dynamic_slice(bl, (0, i * w), (Bk, w))
+        rh, rl = df64.dd_sub((rbh, rbl), (ah, al))
+        Dh = lax.dynamic_slice(Ph, (0, i * w, i * w), (Bk, w, w))
+        Dl = lax.dynamic_slice(Pl, (0, i * w, i * w), (Bk, w, w))
+        qh, ql = dd_gemv((Dh, Dl), (rh, rl), transpose=trans)
+        return (lax.dynamic_update_slice(yh, qh, (0, i * w)),
+                lax.dynamic_update_slice(yl, ql, (0, i * w)))
+
+    Z = jnp.zeros_like(bh)
+    if transpose:
+        yh, yl = lax.fori_loop(
+            0, k, lambda jj, c: step(k - 1 - jj, c, True), (Z, Z))
+    else:
+        yh, yl = lax.fori_loop(0, k, lambda i, c: step(i, c, False), (Z, Z))
+    return yh[:, :n], yl[:, :n]
+
+
+def dd_tri_solve_right_pinv(Ph, Pl, Bh, Bl):
+    """Solve X L^T = B for X where (Ph, Pl) is the P-form factor: B dd
+    (Bk, m, n). ceil(n/_BLOCK) sequential steps; the inter-panel update
+    X[:, :, :i*w] . L_panel^T is one Ozaki MXU GEMM and the panel apply
+    R . D^-T another — the GEMM-everywhere factor-time form that
+    ``TRI_INV`` bought, without the full-inverse application damage."""
+    Bk, m, n = Bh.shape
+    w = _BLOCK
+    if n <= w:
+        return dd_matmul_nt_any((Bh, Bl), (Ph, Pl))
+    k = -(-n // w)
+    N = k * w
+    if N != n:
+        Ph, Pl = _pad_pform(Ph, Pl, n, N)
+        Bh = jnp.pad(Bh, ((0, 0), (0, 0), (0, N - n)))
+        Bl = jnp.pad(Bl, ((0, 0), (0, 0), (0, N - n)))
+    idx = jnp.arange(N)
+
+    def step(i, carry):
+        Xh, Xl = carry
+        row_h = lax.dynamic_slice(Ph, (0, i * w, 0), (Bk, w, N))
+        row_l = lax.dynamic_slice(Pl, (0, i * w, 0), (Bk, w, N))
+        mrow = (idx < i * w)[None, None, :]
+        uh, ul = dd_matmul_nt_any((Xh, Xl),
+                                  (jnp.where(mrow, row_h, 0.0),
+                                   jnp.where(mrow, row_l, 0.0)))
+        rbh = lax.dynamic_slice(Bh, (0, 0, i * w), (Bk, m, w))
+        rbl = lax.dynamic_slice(Bl, (0, 0, i * w), (Bk, m, w))
+        rh, rl = df64.dd_sub((rbh, rbl), (uh, ul))
+        Dh = lax.dynamic_slice(Ph, (0, i * w, i * w), (Bk, w, w))
+        Dl = lax.dynamic_slice(Pl, (0, i * w, i * w), (Bk, w, w))
+        xh, xl = dd_matmul_nt_any((rh, rl), (Dh, Dl))
+        return (lax.dynamic_update_slice(Xh, xh, (0, 0, i * w)),
+                lax.dynamic_update_slice(Xl, xl, (0, 0, i * w)))
+
+    Z = jnp.zeros_like(Bh)
+    Xh, Xl = lax.fori_loop(0, k, step, (Z, Z))
+    return Xh[:, :, :n], Xl[:, :, :n]

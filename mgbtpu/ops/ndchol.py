@@ -612,8 +612,9 @@ def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
     assembled fronts indefinite at any useful shift (measured: breakdown
     for shift <= 1e-9 with true lambda_min = 1.7e-10)."""
     from . import df64
-    from .ddlinalg import (TRI_INV, dd_cholesky, dd_matmul_nt_any,
-                           dd_syrk_sub, dd_tri_inverse, dd_tri_solve_right)
+    from .ddlinalg import (TRI_INV, TRI_PANEL, dd_cholesky, dd_matmul_nt_any,
+                           dd_syrk_sub, dd_tri_inverse, dd_tri_pinv,
+                           dd_tri_solve_right, dd_tri_solve_right_pinv)
 
     fact = []
     S_prev = None
@@ -660,10 +661,17 @@ def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
         if TRI_INV:
             # store L^-1 (Newton-Schulz, MXU) instead of L: U becomes one
             # Ozaki GEMM here and every solve-time substitution becomes a
-            # batched dd GEMV (ops/ddlinalg.py rationale)
+            # batched dd GEMV. UNSAFE at depth — the inverse application
+            # cancels (ops/ddlinalg.py TRI_MODE note); kept for A/Bs.
             Li = dd_tri_inverse(Lf[0], Lf[1])
             U = dd_matmul_nt_any((Bh, Bl), Li)
             Lf = Li
+        elif TRI_PANEL:
+            # store the partitioned-inverse (P-) form: inverted _BLOCK
+            # diagonal panels in place, off-diagonal L kept. U rides the
+            # blocked GEMM right-solve; substitution-grade accuracy.
+            Lf = dd_tri_pinv(Lf[0], Lf[1])
+            U = dd_tri_solve_right_pinv(Lf[0], Lf[1], Bh, Bl)
         else:
             U = dd_tri_solve_right(Lf[0], Lf[1], Bh, Bl)
         S_prev = dd_syrk_sub(Ch, Cl, U[0], U[1])
@@ -679,11 +687,14 @@ def nd_solve_dd(dp: "NDDev", fact, rh, rl=None):
     ``dd_sub`` — a hi/lo scatter-add would give the application a backward
     error ~ eps(f32), i.e. a preconditioned kappa ~ eps32 * t.
 
-    With TRI_INV (default) the factor stores L^-1, so every substitution
-    here is a single batched dd GEMV instead of an O(front)-step rolled
-    loop — the application drops from ~5.5 ms to ~MXU/VPU throughput."""
+    With TRI_PANEL (default) the factor is in P-form (inverted _BLOCK
+    diagonal panels), so every substitution here runs in ceil(front/32)
+    blocked steps instead of an O(front)-step rolled loop, at
+    substitution-grade accuracy; TRI_INV (L^-1 stored whole) applies in
+    one dd GEMV but cancels at depth (ops/ddlinalg.py TRI_MODE note)."""
     from . import df64
-    from .ddlinalg import TRI_INV, dd_gemv, dd_tri_solve_left
+    from .ddlinalg import (TRI_INV, TRI_PANEL, dd_gemv, dd_tri_solve_left,
+                           dd_tri_solve_left_pinv)
 
     if rl is None:
         rl = jnp.zeros_like(rh)
@@ -694,6 +705,8 @@ def nd_solve_dd(dp: "NDDev", fact, rh, rl=None):
         (Lh, Ll), (Uh, Ul) = fact[li]
         if TRI_INV:
             yA = dd_gemv((Lh, Ll), (rh[L.adofs], rl[L.adofs]))
+        elif TRI_PANEL:
+            yA = dd_tri_solve_left_pinv(Lh, Ll, rh[L.adofs], rl[L.adofs])
         else:
             yA = dd_tri_solve_left(Lh, Ll, rh[L.adofs], rl[L.adofs])
         ys.append(yA)
@@ -716,6 +729,8 @@ def nd_solve_dd(dp: "NDDev", fact, rh, rl=None):
         th, tl = df64.dd_sub(ys[li], (th, tl))
         if TRI_INV:
             xA = dd_gemv((Lh, Ll), (th, tl), transpose=True)
+        elif TRI_PANEL:
+            xA = dd_tri_solve_left_pinv(Lh, Ll, th, tl, transpose=True)
         else:
             xA = dd_tri_solve_left(Lh, Ll, th, tl, transpose=True)
         ok = L.adofs < dp.n_J

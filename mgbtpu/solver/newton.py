@@ -1160,9 +1160,11 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
                     "newton it {k}: cg={c} inc={i} loose={lo}",
                     k=k, c=k_cg, i=inc, lo=use_loose)
             if _os.environ.get("MGBTPU_IR_DUMP"):  # pragma: no cover
-                def _dump(xv, dzh, dzl, wcv, kcgv):
+                _dump_at = int(_os.environ.get("MGBTPU_IR_DUMP_AT", 250))
+
+                def _dump(xv, dzh, dzl, wcv, kcgv, _at=_dump_at):
                     import numpy as _n
-                    if int(kcgv) > 250:
+                    if int(kcgv) > _at:
                         import time as _t
                         _n.savez(f"/tmp/heavy_{int(_t.time()*1e6) % 10**9}"
                                  f"_{int(kcgv)}.npz", x=xv, dzh=dzh, dzl=dzl,

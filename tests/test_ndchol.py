@@ -236,3 +236,55 @@ def test_panel_slots_beyond_int32_keys():
     want = np.zeros(n_J)
     np.add.at(want, cols_r, vals)
     assert np.abs(got - want).max() < 1e-12
+
+
+def test_pform_tri_solve_matches_substitution():
+    """Partitioned-inverse (P-form) triangular apply is substitution-grade
+    on an ill-conditioned factor, where the FULL explicit inverse's apply
+    is not (measured kappa=1e10 probe: subst 2.4e-5, P-form 2.1e-4, full
+    inverse 3.8e-3 in |I - M A|; the full-inverse damage showed up as a
+    127 -> 1907 ramp-CG blow-up at fem2d_P2 L=6). Pins the left-solve
+    (the nd_solve_dd path) to agree with rolled substitution, and the
+    full P-chain to beat the full-inverse chain by >= 4x."""
+    from mgbtpu.ops import df64
+    from mgbtpu.ops import ddlinalg as ddl
+
+    rng = np.random.default_rng(0)
+    n = 96
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    ev = np.logspace(-10, 0, n)
+    A = 0.5 * ((Q * ev) @ Q.T + ((Q * ev) @ Q.T).T)
+    Ah, Al = df64.f64_split(A[None], dtype=np.float32)
+    Ah, Al = jnp.asarray(Ah), jnp.asarray(Al)
+    L = ddl.dd_cholesky(Ah, Al)
+    P = ddl.dd_tri_pinv(L[0], L[1])
+
+    def chain_err(apply_inv):
+        I3 = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (1, n, n))
+        if apply_inv:
+            Li = ddl.dd_tri_inverse(L[0], L[1])
+            Z = (jnp.swapaxes(Li[0], 1, 2), jnp.swapaxes(Li[1], 1, 2))
+            Y = ddl.dd_matmul_nt_any(Z, Z)
+        else:
+            Z = ddl.dd_tri_solve_right_pinv(P[0], P[1], I3,
+                                            jnp.zeros_like(I3))
+            Y = ddl.dd_matmul_nt_any(Z, Z)
+        M = np.asarray(Y[0], np.float64) + np.asarray(Y[1], np.float64)
+        return np.linalg.norm(np.eye(n) - M[0] @ A, 2)
+
+    assert chain_err(False) * 4 < chain_err(True)
+
+    # left-solve (fwd + transpose) equals rolled substitution to ~eps_dd
+    b = rng.standard_normal(n).astype(np.float32)
+    bh, bl = jnp.asarray(b[None]), jnp.zeros((1, n), jnp.float32)
+    yp = ddl.dd_tri_solve_left_pinv(P[0], P[1], bh, bl)
+    xp = ddl.dd_tri_solve_left_pinv(P[0], P[1], yp[0], yp[1],
+                                    transpose=True)
+    ys = ddl.dd_tri_solve_left(L[0], L[1], bh, bl)
+    xs = ddl.dd_tri_solve_left(L[0], L[1], ys[0], ys[1], transpose=True)
+    xpd = np.asarray(xp[0], np.float64)[0] + np.asarray(xp[1], np.float64)[0]
+    xsd = np.asarray(xs[0], np.float64)[0] + np.asarray(xs[1], np.float64)[0]
+    x_ref = np.linalg.solve(A, b.astype(np.float64))
+    rel = np.linalg.norm(x_ref)
+    assert np.linalg.norm(xpd - x_ref) < 3e-6 * rel
+    assert np.linalg.norm(xpd - xsd) < 1e-6 * rel
