@@ -50,8 +50,12 @@ for L in [int(a) for a in (sys.argv[1:] or ["4", "5", "6"])]:
         t0 = time.time(); sol = mgb_solve(prob); warm = time.time() - t0
         t0 = time.time(); sol = mgb_solve(prob); solve = time.time() - t0
         m = sol.SOL_main
+        n_dofs = int(sol.z.shape[0])
         rec.update(warm_s=round(warm, 1), solve_s=round(solve, 3),
                    its=int(m["its"].sum()), cg=int(m["cg"].sum()),
+                   n_dofs=n_dofs,
+                   its_per_sqrt_n=round(float(m["its"].sum())
+                                        / np.sqrt(n_dofs), 3),
                    finite=bool(np.isfinite(sol.z).all()),
                    vs_baseline=round(BASELINE_A40.get(L, 0) / solve, 3)
                    if BASELINE_A40.get(L) else None)
