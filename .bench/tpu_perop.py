@@ -107,3 +107,22 @@ def f2cost(v):
     leaf = Hh.Ydd[0].hi if isinstance(Hh.Ydd, tuple) else Hh.Ydd.hi
     return v + 1e-12 * jnp.sum(leaf).astype(dtype)
 bench("f2 hessian build", f2cost, x, R=64)
+
+# --- nested-dissection path (default BIG_PRE=nd): factor + IR solve ---
+if H.ctx is not None and getattr(H.ctx, "nd", None) is not None:
+    import dataclasses as _dc
+    from mgbtpu.solver.newton import make_nd_pre, dense_ir_solve
+    pre_nd = jax.jit(make_nd_pre)(H)
+    def ndf(v):
+        H2 = _dc.replace(H, Lnode=H.Lnode + v[0] * 1e-30)
+        p = make_nd_pre(H2)
+        return v + 1e-12 * p[0][0][0][0][0, 0, 0]
+    bench("nd factor (make_nd_pre)", ndf, x, R=64)
+    gdd = (gvec.hi, gvec.lo) if hasattr(gvec, "hi") else (gvec, jnp.zeros_like(gvec))
+    from mgbtpu.ops.ddarray import DD as _DD
+    def nds(v):
+        g2 = _DD(gdd[0] + v * 1e-30, gdd[1])
+        d, st = dense_ir_solve(H, g2, pre=pre_nd, return_stats=True)
+        from mgbtpu.ops.ddarray import fl as _fl
+        return v + 1e-12 * _fl(d)
+    bench("dense_ir_solve (nd pre)", nds, x, R=64)
