@@ -61,7 +61,7 @@ if H.ctx is None:
     bench("Minv @ r (pre apply)", lambda v: (Minv @ v) * 1e-9 + v, x)
 from mgbtpu.ops import df64
 bench("dd_dot pair", lambda v: v + df64.dd_dot(v, v)[0] * 1e-20, x)
-if H.ctx is not None and os.environ.get("MGBTPU_BIG_PRE", "fsai2").startswith("fsai"):
+if H.ctx is not None and getattr(H.ctx, "fsai", None) is not None:
     from mgbtpu.solver.fsai import fsai_values, fsai_apply
     from mgbtpu.solver.newton import make_pcg_pre
     plan = H.ctx.fsai
@@ -80,7 +80,7 @@ if H.ctx is not None and os.environ.get("MGBTPU_BIG_PRE", "fsai2").startswith("f
     if H.ctx.coarse_T is not None:
         T_c = H.ctx.coarse_T
         bench("coarse_T mv+rmv", lambda v: T_c.mv(T_c.rmv(v)) * 0.5 + v * 1e-9, x)
-elif H.ctx is not None:
+elif H.ctx is not None and getattr(H.ctx, "nd", None) is None:
     pre = make_pcg_pre(H)
     dense_chos, diags, diag_top = pre
     ctx = H.ctx

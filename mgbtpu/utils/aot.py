@@ -69,11 +69,20 @@ def _env_fingerprint() -> str:
     import jaxlib
 
     dev = jax.devices()[0]
+    # MGBTPU_* env knobs select different traced programs at the SAME call
+    # signature (e.g. MGBTPU_ND_REFRESH flips the ramp's refresh policy,
+    # MGBTPU_PALLAS_TILE changes in-kernel padding): they must be part of
+    # the key or an A/B run silently loads the other configuration's blob.
+    # The AOT-cache admin vars are excluded — they never reach a trace.
+    knobs = "|".join(f"{k}={v}" for k, v in sorted(os.environ.items())
+                     if k.startswith("MGBTPU_")
+                     and not k.startswith("MGBTPU_AOT_CACHE"))
     return "|".join([
         jax.__version__, getattr(jaxlib, "__version__", "?"),
         dev.platform, str(getattr(dev, "device_kind", "?")),
         str(jax.config.jax_enable_x64),
         str(jax.config.jax_default_matmul_precision),
+        knobs,
     ])
 
 

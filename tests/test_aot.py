@@ -67,6 +67,21 @@ def test_xjit_key_separates_shapes_and_statics(tmp_path, monkeypatch):
     assert not np.allclose(r3, r5)
 
 
+def test_env_knobs_change_key(monkeypatch):
+    """MGBTPU_* knobs select different traced programs at the same call
+    signature (e.g. MGBTPU_ND_REFRESH flips the ramp's refresh policy), so
+    they must be part of the cache key — while the AOT-cache admin vars
+    must NOT be (changing the cache cap cannot strand every blob)."""
+    monkeypatch.delenv("MGBTPU_ND_REFRESH", raising=False)
+    base = aot._env_fingerprint()
+    monkeypatch.setenv("MGBTPU_ND_REFRESH", "auto")
+    assert aot._env_fingerprint() != base
+    monkeypatch.delenv("MGBTPU_ND_REFRESH")
+    assert aot._env_fingerprint() == base
+    monkeypatch.setenv("MGBTPU_AOT_CACHE_MAX", "123")
+    assert aot._env_fingerprint() == base
+
+
 def test_xjit_disabled_is_passthrough(tmp_path, monkeypatch):
     monkeypatch.setenv("MGBTPU_AOT_CACHE_DIR", str(tmp_path))
     monkeypatch.setenv("MGBTPU_AOT_CACHE", "0")
