@@ -126,3 +126,57 @@ if H.ctx is not None and getattr(H.ctx, "nd", None) is not None:
         from mgbtpu.ops.ddarray import fl as _fl
         return v + 1e-12 * _fl(d)
     bench("dense_ir_solve (nd pre)", nds, x, R=64)
+
+    # --- two-phase cheap (f32) factor + solve ---
+    def ndf32(v):
+        H2 = _dc.replace(H, Lnode=H.Lnode + v[0] * 1e-30)
+        p = make_nd_pre(H2, nd_dd=False)
+        return v + 1e-12 * p[0][0][0][0, 0, 0]
+    bench("nd factor f32 (cheap)", ndf32, x, R=64)
+    pre32 = jax.jit(lambda h: make_nd_pre(h, nd_dd=False))(H)
+    def nds32(v):
+        g2 = _DD(gdd[0] + v * 1e-30, gdd[1])
+        d, st = dense_ir_solve(H, g2, pre=pre32, return_stats=True)
+        from mgbtpu.ops.ddarray import fl as _fl
+        return v + 1e-12 * _fl(d)
+    bench("dense_ir_solve (f32 pre)", nds32, x, R=64)
+
+    # --- dd factor sub-phases at the leaf level (the rolled-loop bill) ---
+    from mgbtpu.ops import ddlinalg as ddl
+    from mgbtpu.ops.ndchol import _leaf_assemble_dd, nd_solve_dd
+    from mgbtpu.solver.levelops import gram_element_blocks_dd, gram_diag
+    ndp = H.ctx.nd
+    d_ = gram_diag(ops, H.Lnode)
+    dinv_ = jnp.where(d_ > 0, jax.lax.rsqrt(d_), 1.0)
+    Heh, Hel = jax.jit(gram_element_blocks_dd)(ops, H.Ydd, dinv_)
+    def leafasm(v):
+        Fh, Fl = _leaf_assemble_dd(ndp, Heh + v[0] * 1e-30, Hel)
+        return v + 1e-12 * Fh[0, 0, 0]
+    bench("nd leaf assemble dd", leafasm, x, R=64)
+    Fh, Fl = jax.jit(_leaf_assemble_dd)(ndp, Heh, Hel)
+    L0 = ndp.levels[0]
+    a0 = L0.amax
+    Ah = Fh[:, :a0, :a0] + jnp.broadcast_to(
+        0.1 * jnp.eye(a0, dtype), (Fh.shape[0], a0, a0))
+    Al = Fl[:, :a0, :a0]
+    def leafchol(v):
+        P = ddl.dd_cholesky_pform(Ah + v[0] * 1e-30, Al)
+        return v + 1e-12 * P[0][0, 0, 0]
+    bench(f"dd chol pform leaf({Fh.shape[0]}x{a0})", leafchol, x, R=32)
+    Bh = Fh[:, a0:, :a0]; Bl = Fl[:, a0:, :a0]
+    Pp = jax.jit(ddl.dd_cholesky_pform)(Ah, Al)
+    def solveright(v):
+        U = ddl.dd_tri_solve_right_pinv(Pp[0], Pp[1] + v[0] * 1e-30, Bh, Bl)
+        return v + 1e-12 * U[0][0, 0, 0]
+    bench("dd solve_right_pinv leaf", solveright, x, R=32)
+    Uu = jax.jit(ddl.dd_tri_solve_right_pinv)(Pp[0], Pp[1], Bh, Bl)
+    def syrk(v):
+        S = ddl.dd_syrk_sub(Fh[:, a0:, a0:] + v[0] * 1e-30, Fl[:, a0:, a0:],
+                            Uu[0], Uu[1])
+        return v + 1e-12 * S[0][0, 0, 0]
+    bench("dd syrk_sub leaf", syrk, x, R=32)
+    fact_nd = pre_nd[0]
+    def ndsolve_only(v):
+        xh, xl = nd_solve_dd(ndp, fact_nd, x * (1.0 + v[0] * 1e-30))
+        return v + 1e-12 * xh[0]
+    bench("nd_solve_dd (one apply)", ndsolve_only, x, R=64)

@@ -99,6 +99,35 @@ def _dd_cholesky_rolled(Ah, Al):
     return jnp.where(tril, Lh, 0.0), jnp.where(tril, Ll, 0.0)
 
 
+def dd_cholesky_pform(Ah, Al):
+    """Batched lower Cholesky of SPD dd matrices, returned directly in the
+    partitioned-inverse (P-) form of ``dd_tri_pinv``: inverted ``_BLOCK``
+    diagonal panels in place, off-diagonal L kept.
+
+    Bitwise-identical to ``dd_tri_pinv(*dd_cholesky(Ah, Al))`` — the
+    blocked recursion already computes each panel's Newton-Schulz inverse
+    to form L21 as one GEMM (see dd_cholesky), so storing it instead of L
+    deduplicates the whole pinv pass (one batched NS + pad/gather/scatter
+    per ND level per refactor on the always-refresh dd path)."""
+    n = Ah.shape[-1]
+    if n <= _BLOCK:
+        L = _dd_cholesky_rolled(Ah, Al)
+        return dd_tri_inverse(L[0], L[1])
+    w = _BLOCK
+    L11 = _dd_cholesky_rolled(Ah[:, :w, :w], Al[:, :w, :w])
+    Li11 = dd_tri_inverse(L11[0], L11[1])
+    L21 = dd_matmul_nt_any((Ah[:, w:, :w], Al[:, w:, :w]), Li11)
+    Sh, Sl = dd_syrk_sub(Ah[:, w:, w:], Al[:, w:, w:], L21[0], L21[1])
+    P22 = dd_cholesky_pform(Sh, Sl)
+    zh = jnp.zeros(Ah[:, :w, w:].shape, Ah.dtype)
+    top_h = jnp.concatenate([Li11[0], zh], axis=2)
+    top_l = jnp.concatenate([Li11[1], zh], axis=2)
+    bot_h = jnp.concatenate([L21[0], P22[0]], axis=2)
+    bot_l = jnp.concatenate([L21[1], P22[1]], axis=2)
+    return (jnp.concatenate([top_h, bot_h], axis=1),
+            jnp.concatenate([top_l, bot_l], axis=1))
+
+
 def dd_tri_solve_right(Lh, Ll, Bh, Bl):
     """Solve X L^T = B for X (batched): L dd lower (Bk, n, n), B dd
     (Bk, m, n).

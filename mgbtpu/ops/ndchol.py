@@ -434,8 +434,10 @@ def nd_factor(dp: "NDDev", He, diag_shift):
     """Batched multifrontal factorization of sum-of-element-blocks + shift.
 
     ``He`` (N, C, C) element blocks (already equilibrated if desired),
-    ``diag_shift`` scalar added to every assigned diagonal. Returns the
-    per-level factor pytree ((L, U), ...) leaf..root."""
+    ``diag_shift`` scalar added to every assigned diagonal — or a
+    (n_J + 1,) per-dof vector (unit pivots for structurally empty dofs,
+    mirroring nd_factor_dd). Returns the per-level factor pytree
+    ((L, U), ...) leaf..root."""
     fact = []
     S_prev = None
     for li, L in enumerate(dp.levels):
@@ -462,7 +464,12 @@ def nd_factor(dp: "NDDev", He, diag_shift):
         # unit diagonal on padded/dummy slots; shift on real assigned slots
         apad = (L.adofs >= dp.n_J)
         bpad = (L.bdofs >= dp.n_J)
-        diag_a = jnp.where(apad, 1.0, diag_shift).astype(He.dtype)
+        if jnp.ndim(diag_shift) == 1:
+            sh_a = diag_shift[jnp.minimum(L.adofs, dp.n_J)]
+        else:
+            sh_a = jnp.broadcast_to(jnp.asarray(diag_shift, He.dtype),
+                                    L.adofs.shape)
+        diag_a = jnp.where(apad, 1.0, sh_a).astype(He.dtype)
         ii = jnp.arange(amax)
         F = F.at[:, ii, ii].add(diag_a)
         jjb = amax + jnp.arange(bmax)
@@ -612,8 +619,9 @@ def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
     assembled fronts indefinite at any useful shift (measured: breakdown
     for shift <= 1e-9 with true lambda_min = 1.7e-10)."""
     from . import df64
-    from .ddlinalg import (TRI_INV, TRI_PANEL, dd_cholesky, dd_matmul_nt_any,
-                           dd_syrk_sub, dd_tri_inverse, dd_tri_pinv,
+    from .ddlinalg import (TRI_INV, TRI_PANEL, dd_cholesky,
+                           dd_cholesky_pform, dd_matmul_nt_any,
+                           dd_syrk_sub, dd_tri_inverse,
                            dd_tri_solve_right, dd_tri_solve_right_pinv)
 
     fact = []
@@ -657,22 +665,25 @@ def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
         Bh, Bl = Fh[:, amax:amax + bmax, :amax], Fl[:, amax:amax + bmax, :amax]
         Ch, Cl = (Fh[:, amax:amax + bmax, amax:amax + bmax],
                   Fl[:, amax:amax + bmax, amax:amax + bmax])
-        Lf = dd_cholesky(Ah, Al)
-        if TRI_INV:
+        if TRI_PANEL:
+            # factor straight into the partitioned-inverse (P-) form:
+            # inverted _BLOCK diagonal panels in place, off-diagonal L
+            # kept (dd_cholesky_pform reuses the panel inverses the
+            # blocked recursion computes anyway). U rides the blocked
+            # GEMM right-solve; substitution-grade accuracy.
+            Lf = dd_cholesky_pform(Ah, Al)
+            U = dd_tri_solve_right_pinv(Lf[0], Lf[1], Bh, Bl)
+        elif TRI_INV:
             # store L^-1 (Newton-Schulz, MXU) instead of L: U becomes one
             # Ozaki GEMM here and every solve-time substitution becomes a
             # batched dd GEMV. UNSAFE at depth — the inverse application
             # cancels (ops/ddlinalg.py TRI_MODE note); kept for A/Bs.
+            Lf = dd_cholesky(Ah, Al)
             Li = dd_tri_inverse(Lf[0], Lf[1])
             U = dd_matmul_nt_any((Bh, Bl), Li)
             Lf = Li
-        elif TRI_PANEL:
-            # store the partitioned-inverse (P-) form: inverted _BLOCK
-            # diagonal panels in place, off-diagonal L kept. U rides the
-            # blocked GEMM right-solve; substitution-grade accuracy.
-            Lf = dd_tri_pinv(Lf[0], Lf[1])
-            U = dd_tri_solve_right_pinv(Lf[0], Lf[1], Bh, Bl)
         else:
+            Lf = dd_cholesky(Ah, Al)
             U = dd_tri_solve_right(Lf[0], Lf[1], Bh, Bl)
         S_prev = dd_syrk_sub(Ch, Cl, U[0], U[1])
         fact.append((Lf, U))

@@ -37,6 +37,26 @@ from .newton import (CONVERGED, PREDICTOR, make_newton, stopping_exact,
                      stopping_inexact,
                      linesearch_backtracking)
 
+# Two-phase ND factor precision for the fused ramp (dd path only): below
+# t = ND_DD_T the chunk kernel factors the ND fronts in NATIVE f32
+# (batched lax.linalg Cholesky/triangular solves — a handful of fused MXU
+# HLOs per ND level) and above it in double-float (rolled column loops,
+# latency-bound, the measured ~39 ms/refactor at L=6). The f32 factor's
+# preconditioned residual is ~ kappa_eq(t) * eps(f32) ~ t * 6e-8, fine for
+# the dd GMRES-IR corrector until t approaches 1/eps(f32); the historical
+# f32 breakdown (993-2791 CG its/step at t >= 8e5) was measured with
+# FROZEN-per-centering factors — the cheap phase refreshes every Newton
+# iteration instead. 0 disables the cheap phase (pure dd ramp).
+import os as _os_mod
+
+ND_DD_T = float(_os_mod.environ.get("MGBTPU_ND_DD_T", 1e5))
+
+
+def _nd_dd_for(kern, t1):
+    """Factor-precision flag for a centering at t1: False (cheap f32 ND
+    fronts) below ND_DD_T on the dd path, None (defaults) otherwise."""
+    return False if (kern.dd and ND_DD_T > 0 and t1 < ND_DD_T) else None
+
 
 def effective_eps(dtype):
     """Precision the solver actually works at: double-float (~2^-48) on the
@@ -136,6 +156,7 @@ class ProblemKernels:
             from ..utils.aot import XJit
 
             self._newton = XJit(self._newton, "newton")
+        self._newton_cheap = None
         F0 = Fs[0]
         self._node_f0 = jax.jit(lambda args, Dz: jax.vmap(F0)(*args, Dz))
         _, _f1, _f2 = self.fns
@@ -167,6 +188,23 @@ class ProblemKernels:
             from ..utils.aot import XJit
 
             self._matched = XJit(self._matched, "matched")
+
+    def _newton_for(self, nd_dd=None):
+        """The per-step Newton program for the requested ND factor
+        precision: the default (dd on the f32 path), or the lazily built
+        cheap variant (native f32 ND fronts) for low-t centerings — the
+        same two-phase split as the fused ramp (ND_DD_T)."""
+        if nd_dd is not False or not self.dd:
+            return self._newton
+        if self._newton_cheap is None:
+            n = make_newton(*self.fns, line_search=self.line_search,
+                            dd=self.dd, nd_dd=nd_dd)
+            if self.mesh is None:
+                from ..utils.aot import XJit
+
+                n = XJit(n, "newton32")
+            self._newton_cheap = n
+        return self._newton_cheap
 
     # Levels above DENSE_MAX coefficients solve by multigrid-preconditioned
     # CG (matrix-free Gram Hessian) instead of a dense factorization; the
@@ -316,13 +354,14 @@ class ProblemKernels:
         return fa
 
     def run_newton(self, l, z, wc, bw, args, *, maxit, stopping,
-                   pred_r=None):
+                   pred_r=None, nd_dd=None):
         """Newton in the level-l search space from s0 = 0 (or, when
         ``pred_r`` is given, from the central-path tangent predictor —
-        see ``newton.make_newton_core``)."""
+        see ``newton.make_newton_core``). ``nd_dd=False`` selects the
+        cheap (native f32 ND fronts) program for low-t centerings."""
         kind, theta, lambda_tol = stopping
         x0 = jnp.zeros((self.ops(l).n_J,), dtype=self.dtype)
-        x, y, k, status, cg = self._newton(
+        x, y, k, status, cg = self._newton_for(nd_dd)(
             x0, self._fargs(l, z, wc, bw, args), jnp.asarray(maxit, jnp.int32),
             jnp.asarray(lambda_tol if kind == "inexact" else -1.0, self.dtype),
             jnp.asarray(theta, self.dtype),
@@ -340,26 +379,28 @@ class ProblemKernels:
                 self.M.R_fine[l].astype(self.dtype), self.dtype)
         return self._r_ell_cache[l]
 
-    def _ramp_for(self, feas_block):
+    def _ramp_for(self, feas_block, nd_dd=None):
         if not hasattr(self, "_ramp_cache"):
             self._ramp_cache = {}
-        key = feas_block
+        key = (feas_block, nd_dd)
         if key not in self._ramp_cache:
             from .ramp import make_ramp
 
             ramp = make_ramp(
                 self.fns, line_search=self.line_search, dd=self.dd,
-                feas_block=feas_block)
+                feas_block=feas_block, nd_dd=nd_dd)
             if self.mesh is None:
                 from ..utils.aot import XJit
 
-                ramp = XJit(ramp, f"ramp{'' if feas_block is None else 'F'}")
+                tag = ("ramp" + ("" if feas_block is None else "F")
+                       + ("" if nd_dd is None else ("DD" if nd_dd else "32")))
+                ramp = XJit(ramp, tag)
             self._ramp_cache[key] = ramp
         return self._ramp_cache[key]
 
     def run_ramp(self, z, t, kappa, t_first, wcc, bw, args, *, target,
                  kappa0, max_newton, max_newton_retry, easy_its, stopping,
-                 feas_block, max_steps):
+                 feas_block, max_steps, nd_dd=None):
         """One fused on-device ramp chunk from (z, t, kappa) at the finest
         level; returns a RampChunk (see ``solver/ramp.py``)."""
         from .ramp import HIST, RampChunk
@@ -381,7 +422,7 @@ class ProblemKernels:
             z_dev = DD(jnp.asarray(zh), jnp.asarray(zl))
         else:
             z_dev = jnp.asarray(np.asarray(z, dtype=dtype))
-        ramp = self._ramp_for(feas_block)
+        ramp = self._ramp_for(feas_block, nd_dd)
         arrs = (z_dev, Dz0, self._R_ell(l), ops,
                 jnp.asarray(wcc.astype(dtype)), jnp.asarray(bw.astype(dtype)),
                 tuple(args))
@@ -439,7 +480,7 @@ def divide_and_conquer(eta, j, J):
 
 def mgb_step(kern: ProblemKernels, z, wc, bw, args, *, maxit, max_newton,
              stopping, finalize, log, initial_step=False, pred_r=None,
-             first_budget=None):
+             first_budget=None, nd_dd=None):
     """One centering at fixed t over the hierarchy; returns (z, its, conv).
 
     Never early-stops mid-V-cycle: the iterate handed back must be centered
@@ -472,7 +513,7 @@ def mgb_step(kern: ProblemKernels, z, wc, bw, args, *, maxit, max_newton,
         x, y, k, status, cg = kern.run_newton(J - 1, state["z"], wc, bw, args,
                                               maxit=(fb if use_fb else mi),
                                               stopping=stop,
-                                              pred_r=pr)
+                                              pred_r=pr, nd_dd=nd_dd)
         its[J - 1] += k
         cg_tot[0] += cg
         conv = status == CONVERGED
@@ -521,9 +562,12 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
                      budget, easy_its):
     """Drive the fused on-device ramp; fall back to the classic level-bisected
     ``mgb_step`` only for the (rare) centering failures. Returns
-    (z, z_unf, t, kappa, k, converged, attempts): ``attempts`` counts every
-    centering attempt (in-kernel k_att + each assisted mgb_step), so failed
-    kappa-ladder retries are visible in SOL.steps_attempted."""
+    (z, z_unf, t, kappa, k, converged, attempts, fused_ok): ``attempts``
+    counts every centering attempt (in-kernel k_att + each assisted
+    mgb_step), so failed kappa-ladder retries are visible in
+    SOL.steps_attempted; ``fused_ok`` is False when a chunk dispatch died
+    on a remote-runtime error (TPU worker crash) — the caller resumes the
+    classic host loop from the returned state."""
     from .ramp import R_EARLY, R_NEED_HELP, R_TARGET
 
     its_hist, ts_hist, kappa_hist, time_hist, cdz_hist, cg_hist = hists
@@ -539,12 +583,31 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
         prog = float(np.clip(np.log(t / tinit) / np.log(target / tinit), 0, 1)) \
             if tinit < target else 1.0
         progress(prog)
-        log("mgb_core", f"fused ramp chunk from t={t} kappa={kappa} k={k}")
-        chunk = kern.run_ramp(
-            z, t, kappa, t_first, wcc, bw, args, target=target, kappa0=kappa0,
-            max_newton=budget, max_newton_retry=max_newton,
-            easy_its=easy_its, stopping=stopping,
-            feas_block=feas_block, max_steps=maxit - k)
+        # two-phase factor precision: cheap f32 ND fronts while t is below
+        # ND_DD_T (capping the chunk target there so the program never
+        # centers past its precision regime), dd fronts beyond
+        cheap = bool(kern.dd and ND_DD_T > 0 and t < min(ND_DD_T, target))
+        chunk_target = min(target, ND_DD_T) if cheap else target
+        log("mgb_core", f"fused ramp chunk from t={t} kappa={kappa} k={k}"
+            + (f" [f32 fronts to t={chunk_target:g}]" if cheap else ""))
+        try:
+            chunk = kern.run_ramp(
+                z, t, kappa, t_first, wcc, bw, args, target=chunk_target,
+                kappa0=kappa0,
+                max_newton=budget, max_newton_retry=max_newton,
+                easy_its=easy_its, stopping=stopping,
+                feas_block=feas_block, max_steps=maxit - k,
+                nd_dd=False if cheap else None)
+        except Exception as e:   # noqa: BLE001 - remote-runtime failures
+            # TPU worker crash / remote compile death mid-ramp (observed
+            # at L=7: "TPU worker process crashed or restarted" during the
+            # dd ramp warm-up). The iterate/t/kappa of the completed
+            # chunks are intact — hand them to the classic host-stepped
+            # loop instead of losing the run.
+            log("mgb_core",
+                f"fused chunk failed ({type(e).__name__}: {str(e)[:200]}); "
+                "falling back to the host-stepped ramp")
+            return z, z_unf, t, kappa, k, converged, attempts, False
         now = time.time()
         for i in range(chunk.nrec):
             e = np.zeros(L, dtype=np.int64)
@@ -566,6 +629,10 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
         t, kappa, t_first = chunk.t, chunk.kappa, chunk.t_first
         log("mgb_core",
             f"chunk: {chunk.nrec} steps to t={t}, status={chunk.status}")
+        if chunk.status == R_TARGET and cheap and t < target:
+            # the cheap chunk reached its capped target (= ND_DD_T), not
+            # the real one: re-enter the loop, which now picks dd fronts
+            continue
         if chunk.status == R_TARGET:
             # host-side finalize polish at the reached t (the exact-stopping
             # Newton is kept out of the ramp kernel for compile size)
@@ -610,7 +677,8 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
                     first_budget=None if boost else budget,
                     stopping=stopping, finalize=fin,
                     log=log,
-                    pred_r=((t / t1) * (1.0 - t / t1)) if PREDICTOR else None)
+                    pred_r=((t / t1) * (1.0 - t / t1)) if PREDICTOR else None,
+                    nd_dd=_nd_dd_for(kern, t1))
                 attempts += 1
                 its_acc += its
                 cg_acc += cg_s
@@ -636,7 +704,7 @@ def _fused_ramp_loop(kern, z, z_unf, t, kappa, k, args, *, w, c, bw, target,
             if t >= target:
                 converged = True
         # else: chunk exhausted its step budget; loop re-enters
-    return z, z_unf, t, kappa, k, converged, attempts
+    return z, z_unf, t, kappa, k, converged, attempts, True
 
 
 def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
@@ -711,7 +779,8 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                                         first_budget=budget,
                                         stopping=stopping,
                                         finalize=initial_finalize, log=log,
-                                        initial_step=True)
+                                        initial_step=True,
+                                        nd_dd=_nd_dd_for(kern, t))
     log("mgb_core", "initial centering done")
     if not conv:
         raise MGBConvergenceFailure(
@@ -729,29 +798,40 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
     want_fused = (env_fused != "0") if env_fused is not None \
         else jax.default_backend() != "cpu"
     fused = fusable_stop and want_fused
-    if not fused and isinstance(early_stop, tuple):
+    if isinstance(early_stop, tuple):
         # materialize the structured feasibility stop as a host closure for
-        # the classic loop (same semantics as the fused on-device check)
+        # the classic loop (same semantics as the fused on-device check);
+        # built up front so the worker-crash fallback below can use it too
+        feas_block_host = early_stop[1]
         lo_b, hi_b = early_stop[1]
         t_first_box = [np.inf]
 
-        def early_stop(zz, tv, _lo=lo_b, _hi=hi_b, _tf=t_first_box):
+        def early_stop_host(zz, tv, _lo=lo_b, _hi=hi_b, _tf=t_first_box):
             if float(np.max(zz[_lo:_hi])) >= 0:
                 return False
             _tf[0] = min(_tf[0], tv)
             return tv >= 2 * _tf[0]
+    else:
+        feas_block_host = None
+        early_stop_host = early_stop
     if fused:
-        z, z_unf, t, kappa, k, converged, att_f = _fused_ramp_loop(
+        (z, z_unf, t, kappa, k, converged, att_f,
+         fused_ok) = _fused_ramp_loop(
             kern, z, z_unf, t, kappa, k, args, w=w, c=c, bw=bw,
             target=target, tinit=tinit, kappa0=kappa0, maxit=maxit,
             max_newton=max_newton, stopping=stopping, finalize=finalize,
-            feas_block=early_stop[1] if isinstance(early_stop, tuple) else None,
+            feas_block=feas_block_host,
             wc_at=wc_at, record=record, hists=(its_hist, ts_hist, kappa_hist,
                                                time_hist, cdz_hist, cg_hist),
             progress=progress, log=log, L=L, budget=budget,
             easy_its=easy_its)
         attempts += att_f
-    else:
+        if not fused_ok and not converged:
+            # a chunk dispatch died on a remote-runtime error: resume the
+            # classic host-stepped loop from the last completed chunk
+            fused = False
+    if not fused:
+        early_stop = early_stop_host
         while t < target and kappa > 1 and k < maxit \
                 and not _early(early_stop, z, t):
             k += 1
@@ -777,7 +857,8 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
                                 if boost else max_newton),
                     first_budget=None if boost else budget,
                     stopping=stopping, finalize=fin, log=log,
-                    pred_r=((t / t1) * (1.0 - t / t1)) if PREDICTOR else None)
+                    pred_r=((t / t1) * (1.0 - t / t1)) if PREDICTOR else None,
+                    nd_dd=_nd_dd_for(kern, t1))
                 attempts += 1
                 its_acc += its
                 cg_acc += cg_s

@@ -231,7 +231,7 @@ def _refresh_allowed(H):
     return True   # PCG pre rebuilds are coarse-level work only
 
 
-def _always_refresh(H):
+def _always_refresh(H, nd_dd=None):
     """Refresh the preconditioner EVERY Newton iteration: the dd nested-
     dissection factor is direct-solve quality when fresh (measured
     contraction 1.3e-4 at a captured deep-t state, CG exits in ~2 its) but
@@ -240,17 +240,27 @@ def _always_refresh(H):
     t. The O(n^1.5) refactorization is far cheaper than the stale-pre CG
     bill (measured at L=3: 13k CG its frozen vs ~4/solve fresh).
 
+    ``nd_dd`` is the per-program factor-precision override threaded from
+    the two-phase ramp (solver/mgb.py ND_DD_T): when set (True = dd
+    fronts, False = native f32 fronts for the low-t phase) the ND factor
+    always refreshes — the f32 refactorization is a handful of fused MXU
+    ops, far below one stale-pre CG iteration. When None, the legacy
+    global policy applies (dd factors only, MGBTPU_ND_DD).
+
     ``MGBTPU_ND_REFRESH=auto`` opts the dd ND factor into the symptom-
     driven policy instead (rebuild when the last solve crossed
     PRE_REFRESH_ND_AT CG its): on TPU the dd refactorization is
     latency-dominated (~0.4 s at L=5), so trading a few stale-pre CG its
-    (~4 ms each) for skipped rebuilds can win wall-clock."""
+    (~4 ms each) for skipped rebuilds can win wall-clock. Measured at
+    L=6 (round 4c): auto LOSES — solve 11.56 s / 510 CG vs always's
+    10.60 s / 129 CG; the stale-factor CG bill exceeds the refactor."""
     from .levelops import GramHessian
 
     return (_ND_REFRESH != "auto"
             and isinstance(H, GramHessian)
             and getattr(H.ctx, "nd", None) is not None
-            and H.Ydd is not None and ND_DD)
+            and H.Ydd is not None
+            and (ND_DD if nd_dd is None else True))
 
 
 _ND_REFRESH = _os.environ.get("MGBTPU_ND_REFRESH", "always")
@@ -359,6 +369,12 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
                 rm = jnp.where(null, 0.0, r)
                 xh, xl = nd_solve_dd(ndp, fact, rm)
                 return jnp.where(null, 0.0, xh + xl)
+        elif null is not None:
+            # cheap f32 fronts inside a dd solve (two-phase ramp): same
+            # null masking as the dd factors
+            def apply_pre(r):
+                x = nd_solve(ndp, fact, jnp.where(null, 0.0, r))
+                return jnp.where(null, 0.0, x)
         else:
             def apply_pre(r):
                 return nd_solve(ndp, fact, r)
@@ -527,7 +543,7 @@ ND_DD = _os.environ.get("MGBTPU_ND_DD", "1") != "0"
 ND_DD_SHIFT = float(_os.environ.get("MGBTPU_ND_DD_SHIFT", 2.0 ** -46))
 
 
-def make_nd_pre(H):
+def make_nd_pre(H, nd_dd=None):
     """Nested-dissection direct factorization of the equilibrated Gram
     Hessian. dd path: double-float fronts with a 2^-46 per-dof shift (unit
     pivots for structurally empty dofs) and a 2^-24 non-finite fallback —
@@ -535,7 +551,16 @@ def make_nd_pre(H):
     f32 factors with the 2-eps/32-eps ladder. The factor is exact up to
     the shift, so the near-null barrier spectrum that defeats every
     smoother/coarse-space combination (ops/ndchol.py docstring) is handled
-    like the dense path handles it."""
+    like the dense path handles it.
+
+    ``nd_dd`` overrides the global MGBTPU_ND_DD per program: the fused
+    ramp's low-t phase (solver/mgb.py ND_DD_T) runs nd_dd=False — native
+    batched f32 Cholesky/triangular-solve fronts, ~10 fused HLOs per ND
+    level instead of the dd path's rolled column loops — because the
+    preconditioned residual ~ kappa_eq(t) * eps(f32) only exceeds the
+    corrector's reach at deep t. The GMRES-IR outer stays dd (true
+    residual), so the direction accuracy is unchanged; only the
+    preconditioner application differs."""
     import numpy as _np
 
     from ..ops.ndchol import nd_factor, nd_factor_dd, nd_finite, nd_finite_dd
@@ -546,7 +571,7 @@ def make_nd_pre(H):
     ndp = H.ctx.nd
     d = gram_diag(ops, H.Lnode)
     dinv = jnp.where(d > 0, jax.lax.rsqrt(d), 1.0)
-    if H.Ydd is not None and ND_DD:
+    if H.Ydd is not None and (ND_DD if nd_dd is None else nd_dd):
         dtype = H.Lnode.dtype
         Heh, Hel = gram_element_blocks_dd(ops, H.Ydd, dinv)
         # Structurally-null dofs. The equilibration diag (gram_diag) comes
@@ -579,6 +604,26 @@ def make_nd_pre(H):
         return (fact, dinv, null)
     He = gram_element_blocks(ops, H.Lnode, dinv)
     eps = float(_np.finfo(H.Lnode.dtype).eps)
+    if H.Ydd is not None:
+        # cheap (nd_dd=False) phase of a dd solve: same structurally-null
+        # dof treatment as the dd branch (unit pivots + masked corrector),
+        # with the mask read off the jittered f32 blocks — their null-dof
+        # diagonal is jitter-level (~eps), far below the 2^-17 threshold
+        dtype = H.Lnode.dtype
+        dg = jnp.diagonal(He, axis1=1, axis2=2)
+        ddiag = jnp.zeros((ops.n_J,), dtype).at[ops.cols].add(dg)
+        null = (d <= 0) | (ddiag < 2.0 ** -17)
+
+        def shv32(s):
+            v = jnp.where(null, jnp.asarray(1.0, dtype),
+                          jnp.asarray(s, dtype))
+            return jnp.concatenate([v, jnp.ones((1,), dtype)])
+
+        fact = nd_factor(ndp, He, shv32(2 * eps))
+        fact = lax.cond(nd_finite(fact),
+                        lambda f=fact: f,
+                        lambda: nd_factor(ndp, He, shv32(32 * eps)))
+        return (fact, dinv, null)
     fact = nd_factor(ndp, He, 2 * eps)
     fact = lax.cond(nd_finite(fact),
                     lambda f=fact: f,
@@ -586,13 +631,13 @@ def make_nd_pre(H):
     return (fact, dinv)
 
 
-def make_pcg_pre(H, smooth_omega=0.7):
+def make_pcg_pre(H, smooth_omega=0.7, nd_dd=None):
     """Preconditioner data for one centering of a matrix-free level:
     the nested-dissection direct factors (BIG_PRE="nd", default), the FSAI
     factor triple (BIG_PRE="fsai*"), or the frozen V-cycle data (coarse
     assemblies + shifted Cholesky inverses + smoother diagonals)."""
     if getattr(H.ctx, "nd", None) is not None and BIG_PRE == "nd":
-        return make_nd_pre(H)
+        return make_nd_pre(H, nd_dd=nd_dd)
     import numpy as _np
 
     from .levelops import gram_diag
@@ -1008,7 +1053,7 @@ def _illinois_ls(Y, G, f0, f1, fargs, x, y, g, n_dir, inc, beta):
 
 
 def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
-                     solve=None, dd=False):
+                     solve=None, dd=False, nd_dd=None):
     """Build the un-jitted Newton loop for embedding into larger programs
     (the fused t-ramp kernel jits a whole path-following loop around it).
 
@@ -1043,7 +1088,8 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
             from .levelops import GramHessian
 
             if isinstance(H, GramHessian):
-                return make_dense_pre(H) if H.ctx is None else make_pcg_pre(H)
+                return make_dense_pre(H) if H.ctx is None \
+                    else make_pcg_pre(H, nd_dd=nd_dd)
             return None
     else:
         _user_solve = solve
@@ -1125,7 +1171,8 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
         g0 = f1(x0, *fargs)
         ok0 = Y.isfinite(y0) & G.finite(g0)
         carry_pre = (PRE_REFRESH == "auto" and pre0 is not None
-                     and _refresh_allowed(H0) and not _always_refresh(H0))
+                     and _refresh_allowed(H0)
+                     and not _always_refresh(H0, nd_dd))
 
         def cond(carry):
             (x, y, g, ymin, gmin, k, status, lam_prev, cg), _pc = carry
@@ -1145,7 +1192,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
                          & (lambda_tol >= 0)
                          & (lam_prev > 8.0 * lambda_tol))
             rtol_k = jnp.where(use_loose, RTOL_LOOSE, tight_rtol).astype(dtype)
-            if PRE_REFRESH == "1" or _always_refresh(H):
+            if PRE_REFRESH == "1" or _always_refresh(H, nd_dd):
                 pre_k = make_pre(H)
             elif carry_pre:
                 pre_prev, cg_last = _pc
@@ -1248,7 +1295,7 @@ def make_newton_core(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
 
 
 def make_newton(f0, f1, f2, *, line_search=("backtracking", 0.5, 0.1),
-                solve=None, dd=False):
+                solve=None, dd=False, nd_dd=None):
     """The jitted Newton runner (see ``make_newton_core`` for the contract)."""
     return jax.jit(make_newton_core(f0, f1, f2, line_search=line_search,
-                                    solve=solve, dd=dd))
+                                    solve=solve, dd=dd, nd_dd=nd_dd))

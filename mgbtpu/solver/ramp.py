@@ -43,7 +43,7 @@ import os as _os
 _EASY_BONUS = int(_os.environ.get("MGBTPU_KAPPA_EASY_BONUS", 1))
 
 
-def make_ramp(fns, *, line_search, dd, feas_block=None):
+def make_ramp(fns, *, line_search, dd, feas_block=None, nd_dd=None):
     """Build the jitted ramp kernel.
 
     ``fns``: (f0, f1, f2) level functions (signature f(s, ops, Dz0, wc, bw,
@@ -53,8 +53,15 @@ def make_ramp(fns, *, line_search, dd, feas_block=None):
     target (one extra round trip): embedding a second Newton instance in the
     kernel doubled the program and pushed the TPU remote compile over a
     cliff.
+
+    ``nd_dd`` statically selects the ND factor precision for this program
+    (None = global default, False = native f32 fronts, True = dd fronts).
+    The two-phase ramp (solver/mgb.py ND_DD_T) compiles one kernel per
+    phase instead of branching inside — a lax.cond would double the
+    already compile-heavy program.
     """
-    newton_core = make_newton_core(*fns, line_search=line_search, dd=dd)
+    newton_core = make_newton_core(*fns, line_search=line_search, dd=dd,
+                                   nd_dd=nd_dd)
 
     def adv_Dz(ops, Dz0, x):
         return Dz0 + (ops.apply_G_dd(x) if dd else ops.apply_G(x))

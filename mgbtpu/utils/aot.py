@@ -73,10 +73,16 @@ def _env_fingerprint() -> str:
     # signature (e.g. MGBTPU_ND_REFRESH flips the ramp's refresh policy,
     # MGBTPU_PALLAS_TILE changes in-kernel padding): they must be part of
     # the key or an A/B run silently loads the other configuration's blob.
-    # The AOT-cache admin vars are excluded — they never reach a trace.
+    # Excluded: the AOT-cache admin vars and knobs that provably never
+    # reach a trace — MGBTPU_TIMING (host-side phase prints),
+    # MGBTPU_ND_DD_T (host-side two-phase chunk targeting; the chunk
+    # target is a TRACED argument and the factor-precision variant is in
+    # the program NAME), MGBTPU_COMPILE_CACHE (cache location).
+    host_only = {"MGBTPU_TIMING", "MGBTPU_ND_DD_T", "MGBTPU_COMPILE_CACHE"}
     knobs = "|".join(f"{k}={v}" for k, v in sorted(os.environ.items())
                      if k.startswith("MGBTPU_")
-                     and not k.startswith("MGBTPU_AOT_CACHE"))
+                     and not k.startswith("MGBTPU_AOT_CACHE")
+                     and k not in host_only)
     return "|".join([
         jax.__version__, getattr(jaxlib, "__version__", "?"),
         dev.platform, str(getattr(dev, "device_kind", "?")),

@@ -288,3 +288,24 @@ def test_pform_tri_solve_matches_substitution():
     rel = np.linalg.norm(x_ref)
     assert np.linalg.norm(xpd - x_ref) < 3e-6 * rel
     assert np.linalg.norm(xpd - xsd) < 1e-6 * rel
+
+
+def test_dd_cholesky_pform_dedups_pinv_bitwise():
+    """dd_cholesky_pform (the always-refresh factor's fused P-form path)
+    must equal dd_tri_pinv(dd_cholesky(A)) BITWISE: both take the same
+    rolled panel factors and the same Newton-Schulz panel inverses, the
+    pform variant just keeps the inverses instead of recomputing them."""
+    from mgbtpu.ops import ddlinalg as ddl
+    from mgbtpu.ops import df64
+
+    rng = np.random.default_rng(7)
+    for n in (17, 32, 96):       # sub-panel, exact panel, multi-panel
+        X = rng.standard_normal((2, n, n + 3))
+        A = X @ np.swapaxes(X, 1, 2) + 0.1 * np.eye(n)
+        Ah, Al = df64.f64_split(A, dtype=np.float32)
+        Ah, Al = jnp.asarray(Ah), jnp.asarray(Al)
+        L = ddl.dd_cholesky(Ah, Al)
+        P_ref = ddl.dd_tri_pinv(L[0], L[1])
+        P = ddl.dd_cholesky_pform(Ah, Al)
+        assert np.array_equal(np.asarray(P[0]), np.asarray(P_ref[0])), n
+        assert np.array_equal(np.asarray(P[1]), np.asarray(P_ref[1])), n

@@ -90,3 +90,37 @@ def test_predictor_equivalence_and_gain(monkeypatch):
     its_off = int(np.asarray(sol_off.SOL_main["its"]).sum())
     assert np.abs(sol_on.z - sol_off.z).max() < 1e-8
     assert its_on <= its_off
+
+
+def test_two_phase_nd_factor_matches_pure_dd(fused, monkeypatch):
+    """The two-phase fused ramp (solver/mgb.py ND_DD_T: native f32 ND
+    fronts below the threshold, dd fronts above) must reproduce the
+    pure-dd ramp's solution to solver tolerance. The phase switch caps the
+    cheap chunk's target at ND_DD_T, so the trajectory inserts one extra
+    centering there; both runs converge to the same central point at
+    t = 1/tol. ND is forced down to L=3 size via DENSE_MAX (same pattern
+    as tests/test_ndchol.py)."""
+    from mgbtpu import amg, assemble, fem2d_P2, mgb_solve, subdivide
+    from mgbtpu.solver import mgb as M
+
+    monkeypatch.setattr(M.ProblemKernels, "DENSE_MAX", 50)
+    monkeypatch.setattr(M.ProblemKernels, "DENSE_BASE", 40)
+    prob = assemble(amg(subdivide(fem2d_P2(dtype=np.float32), 3)), p=1.0,
+                    dtype=np.float32)
+    tol = 1e-5
+    monkeypatch.setattr(M, "ND_DD_T", 100.0)   # mid-ramp switch
+    s1 = mgb_solve(prob, tol=tol)
+    monkeypatch.setattr(M, "ND_DD_T", 0.0)     # pure dd
+    s2 = mgb_solve(prob, tol=tol)
+    assert np.all(np.isfinite(s1.z)) and np.all(np.isfinite(s2.z))
+    # the ramp clamps at target = 1/tol; the f32 path rounds t to eps(f32)
+    assert abs(s1.SOL_main["ts"][-1] * tol - 1.0) < 1e-6
+    assert abs(s2.SOL_main["ts"][-1] * tol - 1.0) < 1e-6
+    # different paths to the same center: agreement is at the duality-gap
+    # scale (tol * problem scale), not bitwise
+    scale = max(np.abs(np.asarray(s2.z)).max(), 1.0)
+    assert np.abs(np.asarray(s1.z) - np.asarray(s2.z)).max() < 50 * tol * scale
+    # the cheap phase must not cost Newton iterations beyond noise
+    its1 = int(np.asarray(s1.SOL_main["its"]).sum())
+    its2 = int(np.asarray(s2.SOL_main["its"]).sum())
+    assert its1 <= its2 + 12, (its1, its2)
