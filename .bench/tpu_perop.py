@@ -157,7 +157,7 @@ if H.ctx is not None and getattr(H.ctx, "nd", None) is not None:
     L0 = ndp.levels[0]
     a0 = L0.amax
     Ah = Fh[:, :a0, :a0] + jnp.broadcast_to(
-        0.1 * jnp.eye(a0, dtype), (Fh.shape[0], a0, a0))
+        0.1 * jnp.eye(a0, dtype=dtype), (Fh.shape[0], a0, a0))
     Al = Fl[:, :a0, :a0]
     def leafchol(v):
         P = ddl.dd_cholesky_pform(Ah + v[0] * 1e-30, Al)
