@@ -31,13 +31,20 @@ def _enable_cache():
     enable_compile_cache()
 
 
-def _accelerator_alive(timeout_s: float = 75.0) -> bool:
+def _accelerator_alive(timeout_s: float = 240.0) -> bool:
     """Probe the accelerator backend in a SUBPROCESS with a hard timeout.
 
     The axon TPU tunnel can go down for hours; when it is down, *any*
     in-process backend initialization (even ``jax.default_backend()``)
     either raises or hangs forever — and once the main process has touched
     the broken backend it cannot cleanly recover. A killed subprocess can.
+
+    The timeout must survive heavy HOST contention, not just tunnel
+    outages: on a 1-core box a concurrent compile can stretch the
+    subprocess's jax import alone past 75 s (observed: a live-tunnel L=8
+    run silently demoted to the CPU fallback because a background trace
+    job starved the probe). 240 s errs toward waiting — a false "down" is
+    far more expensive (an hours-long CPU solve) than a slow "up".
     """
     try:
         r = subprocess.run(

@@ -102,30 +102,74 @@ def _dd_cholesky_rolled(Ah, Al):
 def dd_cholesky_pform(Ah, Al):
     """Batched lower Cholesky of SPD dd matrices, returned directly in the
     partitioned-inverse (P-) form of ``dd_tri_pinv``: inverted ``_BLOCK``
-    diagonal panels in place, off-diagonal L kept.
+    diagonal panels in place, off-diagonal L kept. Same math as
+    ``dd_tri_pinv(*dd_cholesky(Ah, Al))``.
 
-    Bitwise-identical to ``dd_tri_pinv(*dd_cholesky(Ah, Al))`` — the
-    blocked recursion already computes each panel's Newton-Schulz inverse
-    to form L21 as one GEMM (see dd_cholesky), so storing it instead of L
-    deduplicates the whole pinv pass (one batched NS + pad/gather/scatter
-    per ND level per refactor on the always-refresh dd path)."""
-    n = Ah.shape[-1]
+    ROLLED over panels (``lax.fori_loop`` + dynamic slices): the earlier
+    Python recursion emitted one full panel-step's code per ``_BLOCK``
+    columns — at fem2d_P2 L=5 the ND leaf level (amax 149, 5 panels)
+    alone put 5 identical ~3k-line blocks into every Newton/ramp program,
+    and the axon worker compiles each program at first execution (the
+    measured ~400 s-per-program warm cliff, and the L=7 worker crash).
+    The rolled body updates the FULL trailing matrix under a mask each
+    step (k * n^2 w = n^3 MAC flops vs n^3/3 for the shrinking
+    recursion); the extra MACs ride the Ozaki MXU GEMMs and are
+    negligible against the sequential-latency-bound panel factors."""
+    B, n, _ = Ah.shape
     if n <= _BLOCK:
         L = _dd_cholesky_rolled(Ah, Al)
         return dd_tri_inverse(L[0], L[1])
     w = _BLOCK
-    L11 = _dd_cholesky_rolled(Ah[:, :w, :w], Al[:, :w, :w])
-    Li11 = dd_tri_inverse(L11[0], L11[1])
-    L21 = dd_matmul_nt_any((Ah[:, w:, :w], Al[:, w:, :w]), Li11)
-    Sh, Sl = dd_syrk_sub(Ah[:, w:, w:], Al[:, w:, w:], L21[0], L21[1])
-    P22 = dd_cholesky_pform(Sh, Sl)
-    zh = jnp.zeros(Ah[:, :w, w:].shape, Ah.dtype)
-    top_h = jnp.concatenate([Li11[0], zh], axis=2)
-    top_l = jnp.concatenate([Li11[1], zh], axis=2)
-    bot_h = jnp.concatenate([L21[0], P22[0]], axis=2)
-    bot_l = jnp.concatenate([L21[1], P22[1]], axis=2)
-    return (jnp.concatenate([top_h, bot_h], axis=1),
-            jnp.concatenate([top_l, bot_l], axis=1))
+    k = -(-n // w)
+    N = k * w
+    if N != n:
+        Ah, Al = _pad_pform_spd(Ah, Al, n, N)
+    rows = jnp.arange(N)
+    Mh, Ml = lax.fori_loop(0, k, _pform_body_factory(B, N, w, rows), (Ah, Al))
+    tril = rows[:, None] >= rows[None, :]
+    Mh = jnp.where(tril, Mh, 0.0)
+    Ml = jnp.where(tril, Ml, 0.0)
+    return Mh[:, :n, :n], Ml[:, :n, :n]
+
+
+def _pform_body_factory(B, N, w, rows):
+    def body(i, carry):
+        Mh, Ml = carry
+        Dh = lax.dynamic_slice(Mh, (0, i * w, i * w), (B, w, w))
+        Dl = lax.dynamic_slice(Ml, (0, i * w, i * w), (B, w, w))
+        Lp = _dd_cholesky_rolled(Dh, Dl)
+        Li = dd_tri_inverse(Lp[0], Lp[1])
+        Ch = lax.dynamic_slice(Mh, (0, 0, i * w), (B, N, w))
+        Cl = lax.dynamic_slice(Ml, (0, 0, i * w), (B, N, w))
+        below = (rows >= (i + 1) * w)[None, :, None]
+        Ch = jnp.where(below, Ch, 0.0)
+        Cl = jnp.where(below, Cl, 0.0)
+        L21h, L21l = dd_matmul_nt_any((Ch, Cl), Li)
+        L21h = jnp.where(below, L21h, 0.0)
+        L21l = jnp.where(below, L21l, 0.0)
+        colh = lax.dynamic_update_slice(L21h, Li[0], (0, i * w, 0))
+        coll = lax.dynamic_update_slice(L21l, Li[1], (0, i * w, 0))
+        Mh = lax.dynamic_update_slice(Mh, colh, (0, 0, i * w))
+        Ml = lax.dynamic_update_slice(Ml, coll, (0, 0, i * w))
+        Sh, Sl = dd_matmul_nt_any((L21h, L21l), (L21h, L21l))
+        keep = below & jnp.swapaxes(below, 1, 2)
+        Th, Tl = df64.dd_sub((Mh, Ml), (Sh, Sl))
+        Mh = jnp.where(keep, Th, Mh)
+        Ml = jnp.where(keep, Tl, Ml)
+        return (Mh, Ml)
+
+    return body
+
+
+def _pad_pform_spd(Ah, Al, n, N):
+    """Pad a (B, n, n) SPD dd matrix to (B, N, N) with an identity tail
+    block so padded panels factor to identity and decouple."""
+    pad = N - n
+    Ah = jnp.pad(Ah, ((0, 0), (0, pad), (0, pad)))
+    Al = jnp.pad(Al, ((0, 0), (0, pad), (0, pad)))
+    tail = jnp.arange(n, N)
+    Ah = Ah.at[:, tail, tail].set(1.0)
+    return Ah, Al
 
 
 def dd_tri_solve_right(Lh, Ll, Bh, Bl):

@@ -42,14 +42,16 @@ from .newton import (CONVERGED, PREDICTOR, make_newton, stopping_exact,
 # (batched lax.linalg Cholesky/triangular solves — a handful of fused MXU
 # HLOs per ND level) and above it in double-float (rolled column loops,
 # latency-bound, the measured ~39 ms/refactor at L=6). The f32 factor's
-# preconditioned residual is ~ kappa_eq(t) * eps(f32) ~ t * 6e-8, fine for
-# the dd GMRES-IR corrector until t approaches 1/eps(f32); the historical
-# f32 breakdown (993-2791 CG its/step at t >= 8e5) was measured with
-# FROZEN-per-centering factors — the cheap phase refreshes every Newton
-# iteration instead. 0 disables the cheap phase (pure dd ramp).
+# preconditioned residual is ~ kappa_eq(t) * eps(f32), so the dd GMRES-IR
+# corrector should tolerate it at low t — but MEASURED on a v5e at
+# fem2d_P2 L=6 the split REGRESSED: 13.6 s / 116 its / 1317 cg at
+# ND_DD_T=1e5 vs 10.4 s / 102 its / 129 cg pure dd
+# (.bench/l6_twophase_ab.json) — the extra IR sweeps and slightly worse
+# directions cost more than the cheap factors save. Default 0 (pure dd
+# ramp); the knob stays for A/Bs on other families/levels.
 import os as _os_mod
 
-ND_DD_T = float(_os_mod.environ.get("MGBTPU_ND_DD_T", 1e5))
+ND_DD_T = float(_os_mod.environ.get("MGBTPU_ND_DD_T", 0))
 
 
 def _nd_dd_for(kern, t1):

@@ -409,31 +409,38 @@ def dense_ir_solve(H, g, *, inner_iters=None, outer_iters=None, pre=None,
         # CG in EQUILIBRATED coordinates: Hs u = dinv*r0, delta = dinv*u.
         # The raw H spans ~t^2 orders of magnitude near the reference
         # tolerance; on the unit-diagonal scale everything is O(1).
+        # ``apply_pre`` sits at the TOP of the loop body (beta = 0 on the
+        # first pass) instead of once before the loop and once at the
+        # bottom: the preconditioner is the full ND substitution chain
+        # (~25k HLO ops at L=5) and inlining it twice doubled the program
+        # the axon worker compiles at first execution. Same iterate
+        # sequence as the classic form; the final iteration's wasted
+        # trailing z also disappears.
         rs = dinv * r0
         if null is not None:
             rs = jnp.where(null, 0.0, rs)
-        z0 = apply_pre(rs)
         tol2 = rtol * rtol * ddot(rs, rs)
 
         def cond(c):
-            x, r, z, p2, rz, k = c
+            x, r, p2, rz, k = c
             return (ddot(r, r) > tol2) & (k < inner_iters)
 
         def body(c):
-            x, r, z, p2, rz, k = c
+            x, r, p2, rz_prev, k = c
+            z = apply_pre(r)
+            rz = ddot(r, z)
+            beta = jnp.where((k > 0) & (rz_prev != 0), rz / rz_prev, 0.0)
+            p2 = z + beta * p2
             Hp = mv_s(p2)
             pHp = ddot(p2, Hp)
             alpha = jnp.where(pHp > 0, rz / pHp, 0.0)
             x = x + alpha * p2
             r = r - alpha * Hp
-            z = apply_pre(r)
-            rz2 = ddot(r, z)
-            beta = jnp.where(rz != 0, rz2 / rz, 0.0)
-            return (x, r, z, z + beta * p2, rz2, k + 1)
+            return (x, r, p2, rz, k + 1)
 
-        init = (jnp.zeros_like(rs), rs, z0, z0, ddot(rs, z0),
-                jnp.asarray(0, jnp.int32))
-        x, _, _, _, _, k = lax.while_loop(cond, body, init)
+        init = (jnp.zeros_like(rs), rs, jnp.zeros_like(rs),
+                jnp.asarray(0.0, rs.dtype), jnp.asarray(0, jnp.int32))
+        x, _, _, _, k = lax.while_loop(cond, body, init)
         return dinv * x, k
 
     # dd iterative refinement, exited on the TRUE residual: the inner CG's

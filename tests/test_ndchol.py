@@ -290,11 +290,16 @@ def test_pform_tri_solve_matches_substitution():
     assert np.linalg.norm(xpd - xsd) < 1e-6 * rel
 
 
-def test_dd_cholesky_pform_dedups_pinv_bitwise():
+def test_dd_cholesky_pform_matches_pinv_of_cholesky():
     """dd_cholesky_pform (the always-refresh factor's fused P-form path)
-    must equal dd_tri_pinv(dd_cholesky(A)) BITWISE: both take the same
-    rolled panel factors and the same Newton-Schulz panel inverses, the
-    pform variant just keeps the inverses instead of recomputing them."""
+    must match dd_tri_pinv(dd_cholesky(A)) to the dd floor. The pform is
+    ROLLED (one fori_loop panel step, masked full-width trailing updates —
+    O(1) program size; the unrolled recursion put one ~3k-op panel block
+    per _BLOCK columns into every Newton/ramp program and the axon worker
+    compiles those at first execution), so it is no longer bitwise equal:
+    the masked Ozaki GEMMs see padded operands whose slice decomposition
+    can differ at the last compensation bit. Equality bar: eps_dd-grade
+    relative, plus a direct solve-quality check against f64."""
     from mgbtpu.ops import ddlinalg as ddl
     from mgbtpu.ops import df64
 
@@ -306,6 +311,18 @@ def test_dd_cholesky_pform_dedups_pinv_bitwise():
         Ah, Al = jnp.asarray(Ah), jnp.asarray(Al)
         L = ddl.dd_cholesky(Ah, Al)
         P_ref = ddl.dd_tri_pinv(L[0], L[1])
-        P = ddl.dd_cholesky_pform(Ah, Al)
-        assert np.array_equal(np.asarray(P[0]), np.asarray(P_ref[0])), n
-        assert np.array_equal(np.asarray(P[1]), np.asarray(P_ref[1])), n
+        P = jax.jit(ddl.dd_cholesky_pform)(Ah, Al)
+        ref = np.asarray(P_ref[0], np.float64) + np.asarray(P_ref[1],
+                                                            np.float64)
+        got = np.asarray(P[0], np.float64) + np.asarray(P[1], np.float64)
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() < 1e-12 * scale, n
+        # solve quality vs f64 oracle through the pinv substitutions
+        b = rng.standard_normal((2, n)).astype(np.float32)
+        bh, bl = jnp.asarray(b), jnp.zeros_like(jnp.asarray(b))
+        y = ddl.dd_tri_solve_left_pinv(P[0], P[1], bh, bl)
+        x = ddl.dd_tri_solve_left_pinv(P[0], P[1], y[0], y[1],
+                                       transpose=True)
+        xd = np.asarray(x[0], np.float64) + np.asarray(x[1], np.float64)
+        x_ref = np.linalg.solve(A, b.astype(np.float64)[..., None])[..., 0]
+        assert np.abs(xd - x_ref).max() < 1e-6 * np.abs(x_ref).max(), n
