@@ -180,3 +180,25 @@ if H.ctx is not None and getattr(H.ctx, "nd", None) is not None:
         xh, xl = nd_solve_dd(ndp, fact_nd, x * (1.0 + v[0] * 1e-30))
         return v + 1e-12 * xh[0]
     bench("nd_solve_dd (one apply)", ndsolve_only, x, R=64)
+
+    # --- per-tree-level factor cost (PEROP_LEVELS=1: one compile per
+    # truncation, ~depth compiles — the cost difference between k and k-1
+    # levels is level k's bill: panel chain + solve_right + syrk) ---
+    if os.environ.get("PEROP_LEVELS"):
+        import dataclasses as _dc2
+        from mgbtpu.ops.ndchol import nd_factor_dd
+        nlev = len(ndp.levels)
+        prev = None
+        for k in range(1, nlev + 1):
+            dpk = _dc2.replace(
+                ndp, levels=ndp.levels[:k],
+                parent_gather=ndp.parent_gather[:max(k - 1, 0)],
+                child_maps=ndp.child_maps[:max(k - 1, 0)],
+                b_inc=ndp.b_inc[:k])
+            def fk(v, dpk=dpk):
+                f = nd_factor_dd(dpk, Heh + v[0] * 1e-30, Hel,
+                                 jnp.asarray(1e-8, dtype))
+                return v + 1e-12 * f[-1][0][0][0, 0, 0]
+            lv = ndp.levels[k - 1]
+            bench(f"nd_factor_dd depth {k} (nk={lv.nk} a={lv.amax} "
+                  f"b={lv.bmax})", fk, x, R=16)

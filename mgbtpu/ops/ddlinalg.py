@@ -24,7 +24,11 @@ from jax import lax
 from . import df64
 
 
-_BLOCK = 32  # panel width of the blocked (MXU-update) factorizations
+# panel width of the blocked (MXU-update) factorizations. Tunable
+# (MGBTPU_DD_BLOCK) for latency A/Bs: the P-form substitutions run in
+# ceil(n/_BLOCK) SEQUENTIAL steps, so a wider panel trades per-step size
+# (still tiny vs the MXU) for a shorter sequential chain.
+_BLOCK = int(_os.environ.get("MGBTPU_DD_BLOCK", 32))
 
 
 def dd_cholesky(Ah, Al):

@@ -42,8 +42,11 @@ import os as _os
 
 OZAKI_MIN_INNER = int(_os.environ.get("MGBTPU_OZAKI_MIN_INNER", 32))
 # target significand coverage (bits): dd carries ~48; one extra slice of
-# margin keeps the dropped tail below the dd pipeline's own roundoff
-_TARGET_BITS = 49
+# margin keeps the dropped tail below the dd pipeline's own roundoff.
+# Tunable (MGBTPU_OZAKI_BITS) for precision/speed A-Bs: the factor only
+# PRECONDITIONS an IR/CG loop, so a ~2^-b factor with b >= log2(kappa)+4
+# still converges — fewer slices = quadratically fewer MXU matmuls.
+_TARGET_BITS = int(_os.environ.get("MGBTPU_OZAKI_BITS", 49))
 
 
 def _slice_params(n_inner: int):
