@@ -121,7 +121,7 @@ def dd_cholesky_pform(Ah, Al):
     negligible against the sequential-latency-bound panel factors."""
     B, n, _ = Ah.shape
     if n <= _BLOCK:
-        L = _dd_cholesky_rolled(Ah, Al)
+        L = _panel_factor(Ah, Al)
         return dd_tri_inverse(L[0], L[1])
     w = _BLOCK
     k = -(-n // w)
@@ -136,12 +136,28 @@ def dd_cholesky_pform(Ah, Al):
     return Mh[:, :n, :n], Ml[:, :n, :n]
 
 
+def _panel_factor(Dh, Dl):
+    """Factor one batch of diagonal panels (B, w, w) -> dd lower L.
+
+    "rolled" (default): the one-column-per-step dd loop — ~60 primitive
+    HLOs per column on the critical path, the measured latency bill of
+    the whole ND factorization at the small-batch top tree levels.
+    "ir": f32-seeded Newton refinement on the factor equation
+    (``dd_cholesky_ir``) — all batched GEMMs, ~4x fewer sequential ops,
+    but requires kappa(panel) below ~2^21 (the seed's f32 floor must
+    contract); panels beyond that leave a garbage factor the CG counts
+    expose. Opt-in via MGBTPU_DD_PANEL=ir for A/Bs."""
+    if PANEL_MODE == "ir":
+        return dd_cholesky_ir(Dh, Dl, steps=PANEL_IR_STEPS)
+    return _dd_cholesky_rolled(Dh, Dl)
+
+
 def _pform_body_factory(B, N, w, rows):
     def body(i, carry):
         Mh, Ml = carry
         Dh = lax.dynamic_slice(Mh, (0, i * w, i * w), (B, w, w))
         Dl = lax.dynamic_slice(Ml, (0, i * w, i * w), (B, w, w))
-        Lp = _dd_cholesky_rolled(Dh, Dl)
+        Lp = _panel_factor(Dh, Dl)
         Li = dd_tri_inverse(Lp[0], Lp[1])
         Ch = lax.dynamic_slice(Mh, (0, 0, i * w), (B, N, w))
         Cl = lax.dynamic_slice(Ml, (0, 0, i * w), (B, N, w))
@@ -321,6 +337,11 @@ def dd_syrk_sub_vpu(Ch, Cl, Uh, Ul):
 #            the factor-time panel solves stay one Ozaki MXU GEMM each.
 #   "0"      pure rolled substitution (oracle/fallback).
 # ---------------------------------------------------------------------------
+
+# diagonal-panel factor mode for the P-form factorization (see
+# _panel_factor): "rolled" (default) or "ir" (GEMM-form Newton-IR seed)
+PANEL_MODE = _os.environ.get("MGBTPU_DD_PANEL", "rolled")
+PANEL_IR_STEPS = int(_os.environ.get("MGBTPU_DD_PANEL_IR_STEPS", 3))
 
 TRI_MODE = _os.environ.get("MGBTPU_DD_TRI_INV", "panel")
 TRI_INV = TRI_MODE == "1"

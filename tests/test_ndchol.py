@@ -326,3 +326,57 @@ def test_dd_cholesky_pform_matches_pinv_of_cholesky():
         xd = np.asarray(x[0], np.float64) + np.asarray(x[1], np.float64)
         x_ref = np.linalg.solve(A, b.astype(np.float64)[..., None])[..., 0]
         assert np.abs(xd - x_ref).max() < 1e-6 * np.abs(x_ref).max(), n
+
+
+def test_dd_panel_ir_mode_solve_quality(monkeypatch):
+    """MGBTPU_DD_PANEL=ir (f32-seeded Newton-IR panel factor, all GEMMs)
+    must deliver the same solve quality as the rolled panel loop for
+    panels within its kappa range (~2^21), including genuinely
+    ill-conditioned multi-panel matrices (kappa ~ 1e6)."""
+    from mgbtpu.ops import ddlinalg as ddl
+    from mgbtpu.ops import df64
+
+    monkeypatch.setattr(ddl, "PANEL_MODE", "ir")
+    rng = np.random.default_rng(11)
+    for n, cond in ((32, 1e4), (96, 1e6)):
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.geomspace(1.0, 1.0 / cond, n)
+        A = (Q * lam) @ Q.T
+        A = np.broadcast_to(A, (2, n, n)).copy()
+        Ah, Al = df64.f64_split(A, dtype=np.float32)
+        Ah, Al = jnp.asarray(Ah), jnp.asarray(Al)
+        P = jax.jit(ddl.dd_cholesky_pform)(Ah, Al)
+        b = rng.standard_normal((2, n)).astype(np.float32)
+        bh, bl = jnp.asarray(b), jnp.zeros_like(jnp.asarray(b))
+        y = ddl.dd_tri_solve_left_pinv(P[0], P[1], bh, bl)
+        x = ddl.dd_tri_solve_left_pinv(P[0], P[1], y[0], y[1],
+                                       transpose=True)
+        xd = np.asarray(x[0], np.float64) + np.asarray(x[1], np.float64)
+        x_ref = np.linalg.solve(A, b.astype(np.float64)[..., None])[..., 0]
+        # backward-stable direct-solve bar: kappa * eps_dd-grade
+        assert np.abs(xd - x_ref).max() < cond * 3e-13 * np.abs(x_ref).max(), n
+
+
+def test_ozaki_bits_35_syrk_accuracy():
+    """Reduced-slice Ozaki GEMMs (MGBTPU_OZAKI_BITS target) must hold the
+    advertised ~2^-bits relative accuracy — the knob trades factor
+    precision for quadratically fewer MXU matmuls."""
+    from mgbtpu.ops import df64, ozaki
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((2, 48, 64)) * np.exp(
+        rng.uniform(-8, 8, (2, 48, 1)))
+    C = rng.standard_normal((2, 48, 48))
+    Ah, Al = map(jnp.asarray, df64.f64_split(A, dtype=np.float32))
+    Ch, Cl = map(jnp.asarray, df64.f64_split(C, dtype=np.float32))
+    ref = C - A @ np.swapaxes(A, 1, 2)
+    for bits, tol in ((49, 2e-14), (35, 2e-10)):
+        old = ozaki._TARGET_BITS
+        ozaki._TARGET_BITS = bits
+        try:
+            oh, ol = ozaki.dd_syrk_ozaki((Ch, Cl), (Ah, Al))
+        finally:
+            ozaki._TARGET_BITS = old
+        got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+        scale = np.abs(A @ np.swapaxes(A, 1, 2)).max()
+        assert np.abs(got - ref).max() < tol * scale, bits
