@@ -20,9 +20,12 @@ wait_tunnel
 log "=== perop L=6: sub-phases + per-tree-level factor breakdown"
 PEROP_L=6 PEROP_LEVELS=1 timeout 10800 python .bench/tpu_perop.py 2>&1 | grep -v WARNING | tee .bench/perop_l6_levels.log
 wait_tunnel
-log "=== perop L=6: MGBTPU_DD_PANEL=ir factor/solve timing"
-PEROP_L=6 MGBTPU_DD_PANEL=ir timeout 7200 python .bench/tpu_perop.py 2>&1 | grep -v WARNING | tee .bench/perop_l6_panelir.log
+log "=== perop L=6: MGBTPU_DD_PANEL=pallas (fused Mosaic panel chol+inv)"
+PEROP_L=6 MGBTPU_DD_PANEL=pallas timeout 7200 python .bench/tpu_perop.py 2>&1 | grep -v WARNING | tee .bench/perop_l6_pallaspanel.log
 wait_tunnel
 log "=== perop L=6: OZAKI_BITS=42 + DD_BLOCK=64 factor/solve timing"
 PEROP_L=6 MGBTPU_OZAKI_BITS=42 MGBTPU_DD_BLOCK=64 timeout 7200 python .bench/tpu_perop.py 2>&1 | grep -v WARNING | tee .bench/perop_l6_bits42b64.log
-log "queue10 done (read the three logs, then pick end-to-end A/Bs)"
+wait_tunnel
+log "=== curve L=4 with ND forced down (DENSE_MAX=512): the dense path burns 6123 CG its"
+MGBTPU_DENSE_MAX=512 timeout 7200 python .bench/tpu_curve.py 4 2>&1 | grep -v WARNING | tee .bench/l4_nd.log
+log "queue10 done (read the logs, then pick end-to-end A/Bs)"

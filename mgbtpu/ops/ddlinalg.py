@@ -121,8 +121,7 @@ def dd_cholesky_pform(Ah, Al):
     negligible against the sequential-latency-bound panel factors."""
     B, n, _ = Ah.shape
     if n <= _BLOCK:
-        L = _panel_factor(Ah, Al)
-        return dd_tri_inverse(L[0], L[1])
+        return _panel_inverse(Ah, Al)
     w = _BLOCK
     k = -(-n // w)
     N = k * w
@@ -152,13 +151,27 @@ def _panel_factor(Dh, Dl):
     return _dd_cholesky_rolled(Dh, Dl)
 
 
+def _panel_inverse(Dh, Dl):
+    """Inverted-factor form of one batch of diagonal panels:
+    (B, w, w) dd SPD -> dd L^-1 (lower). MGBTPU_DD_PANEL=pallas fuses the
+    whole factor + substitution inverse into ONE Mosaic kernel
+    (ops/pallas_dd.panel_chol_inv) — the rolled XLA form is ~60 HLOs per
+    column on the critical path; the kernel is one op."""
+    if PANEL_MODE == "pallas":
+        from . import pallas_dd
+
+        if pallas_dd.enabled() and Dh.shape[-1] <= pallas_dd._PANEL_W:
+            return pallas_dd.panel_chol_inv(Dh, Dl)
+    Lp = _panel_factor(Dh, Dl)
+    return dd_tri_inverse(Lp[0], Lp[1])
+
+
 def _pform_body_factory(B, N, w, rows):
     def body(i, carry):
         Mh, Ml = carry
         Dh = lax.dynamic_slice(Mh, (0, i * w, i * w), (B, w, w))
         Dl = lax.dynamic_slice(Ml, (0, i * w, i * w), (B, w, w))
-        Lp = _panel_factor(Dh, Dl)
-        Li = dd_tri_inverse(Lp[0], Lp[1])
+        Li = _panel_inverse(Dh, Dl)
         Ch = lax.dynamic_slice(Mh, (0, 0, i * w), (B, N, w))
         Cl = lax.dynamic_slice(Ml, (0, 0, i * w), (B, N, w))
         below = (rows >= (i + 1) * w)[None, :, None]

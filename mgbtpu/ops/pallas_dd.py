@@ -364,3 +364,108 @@ def node_eval(F, args, Dz_pair, n_out=None):
     leaves = [DD(out[2 * i], out[2 * i + 1]) if cell["is_dd"][i]
               else out[2 * i] for i in range(n_out)]
     return jax.tree_util.tree_unflatten(cell["tree"], leaves)
+
+
+# ---------------------------------------------------------------------------
+# dd panel Cholesky + triangular inverse, one kernel. The XLA form
+# (ddlinalg._dd_cholesky_rolled + dd_tri_inverse) is ~60 primitive HLOs per
+# column on the program's critical path — the measured latency bill of the
+# ND factorization at the small-batch top tree levels (fori_loop iterations
+# execute serially and every tiny VPU op pays dispatch overhead). Here the
+# whole w-column factor + substitution-form inverse unrolls STATICALLY
+# inside one Mosaic payload: straight-line VPU code on (w, w, T) tiles with
+# the batch axis riding in lanes, no dynamic slicing, leading-axis tree
+# sums only (no in-kernel transposes).
+# ---------------------------------------------------------------------------
+
+# panel width: follows ddlinalg._BLOCK (MGBTPU_DD_BLOCK) so the fused
+# kernel and the blocked factorization agree; wrapper pads smaller n
+_PANEL_W = int(os.environ.get("MGBTPU_DD_BLOCK", 32))
+
+
+def _chol_inv_kernel(ah_ref, al_ref, ih_ref, il_ref):
+    Ah = ah_ref[...]                    # (w, w, T) dd hi
+    Al = al_ref[...]
+    w, _, T = Ah.shape
+    # --- dd Cholesky, static shrinking trailing blocks ---
+    cols = []                           # column j: dd (w - j, T), diag first
+    Th, Tl = Ah, Al
+    for j in range(w):
+        sh, sl = df64.dd_sqrt((Th[0, 0], Tl[0, 0]))
+        rih, ril = df64.dd_recip((sh, sl))
+        if j < w - 1:
+            ch, cl = df64.dd_mul((Th[1:, 0], Tl[1:, 0]),
+                                 (rih[None], ril[None]))
+            oh, ol = df64.dd_mul((ch[:, None], cl[:, None]),
+                                 (ch[None, :], cl[None, :]))
+            Th, Tl = df64.dd_sub((Th[1:, 1:], Tl[1:, 1:]), (oh, ol))
+            cols.append((jnp.concatenate([sh[None], ch], 0),
+                         jnp.concatenate([sl[None], cl], 0)))
+        else:
+            cols.append((sh[None], sl[None]))
+    # L in (row, col, T) form, zeros above the diagonal
+    Lh = jnp.stack([jnp.concatenate(
+        [jnp.zeros((j, T), Ah.dtype), cols[j][0]], 0) for j in range(w)], 1)
+    Ll = jnp.stack([jnp.concatenate(
+        [jnp.zeros((j, T), Ah.dtype), cols[j][1]], 0) for j in range(w)], 1)
+    # --- X = L^-1 by dd forward substitution, row by row (static) ---
+    rows = []                           # row j of X: dd (w, T)
+    for j in range(w):
+        dh, dl = df64.dd_recip((Lh[j, j], Ll[j, j]))
+        if j == 0:
+            rh = jnp.zeros((w, T), Ah.dtype).at[0].set(dh)
+            rl = jnp.zeros((w, T), Ah.dtype).at[0].set(dl)
+        else:
+            Xh = jnp.stack([r[0] for r in rows], 0)     # (j, w, T)
+            Xl = jnp.stack([r[1] for r in rows], 0)
+            ph, pe = df64.dd_mul((Lh[j, :j][:, None, :],
+                                  Ll[j, :j][:, None, :]), (Xh, Xl))
+            sh_, sl_ = _dd_sum0(ph, pe)                 # (w, T)
+            nh, nl = df64.dd_neg((sh_, sl_))
+            # unit rhs at slot j enters only the diagonal term: row =
+            # (e_j - s) / L[j, j], and s[j] = 0 (X strictly lower there)
+            rh, rl = df64.dd_mul((nh, nl), (dh[None], dl[None]))
+            rh = rh.at[j].set(dh)
+            rl = rl.at[j].set(dl)
+        rows.append((rh, rl))
+    ih_ref[...] = jnp.stack([r[0] for r in rows], 0)
+    il_ref[...] = jnp.stack([r[1] for r in rows], 0)
+
+
+def panel_chol_inv(Ah, Al):
+    """Batched dd SPD panel (B, n, n) -> dd inverse Cholesky factor
+    L^-1 (lower triangular), n <= _PANEL_W. One fused kernel; identity
+    padding on both the size and batch axes (pads invert to themselves)."""
+    pl, pltpu = _pl()
+    B, n, _ = Ah.shape
+    w = _PANEL_W
+    dt = Ah.dtype
+    if n < w:
+        pad = w - n
+        Ah = jnp.pad(Ah, ((0, 0), (0, pad), (0, pad)))
+        Al = jnp.pad(Al, ((0, 0), (0, pad), (0, pad)))
+        tail = jnp.arange(n, w)
+        Ah = Ah.at[:, tail, tail].set(1.0)
+    T = min(_TILE, max(8, B))
+    n_tiles = -(-B // T)
+    Bp = n_tiles * T
+    At_h = jnp.transpose(Ah, (1, 2, 0))          # (w, w, B)
+    At_l = jnp.transpose(Al, (1, 2, 0))
+    if Bp != B:
+        At_h = jnp.pad(At_h, ((0, 0), (0, 0), (0, Bp - B)))
+        At_l = jnp.pad(At_l, ((0, 0), (0, 0), (0, Bp - B)))
+        ii = jnp.arange(w)
+        At_h = At_h.at[ii, ii, B:].set(1.0)
+    out = pl.pallas_call(
+        _chol_inv_kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((w, w, T), lambda i: (0, 0, i)),
+                  pl.BlockSpec((w, w, T), lambda i: (0, 0, i))],
+        out_specs=[pl.BlockSpec((w, w, T), lambda i: (0, 0, i)),
+                   pl.BlockSpec((w, w, T), lambda i: (0, 0, i))],
+        out_shape=[jax.ShapeDtypeStruct((w, w, Bp), dt)] * 2,
+        interpret=_interpret(),
+    )(At_h, At_l)
+    ih = jnp.transpose(out[0][:, :, :B], (2, 0, 1))[:, :n, :n]
+    il = jnp.transpose(out[1][:, :, :B], (2, 0, 1))[:, :n, :n]
+    return ih, il

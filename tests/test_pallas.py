@@ -166,3 +166,29 @@ def test_end_to_end_solve_matches_plain(monkeypatch):
     # both solve to tol ~ sqrt(eps f64); kernels only perturb lo-word
     # rounding, so the solutions agree far inside the solver tolerance
     assert np.abs(z0 - z1).max() < 5e-7
+
+
+def test_panel_chol_inv_matches_rolled_oracle():
+    """The fused dd panel Cholesky+inverse kernel must match the XLA form
+    (rolled dd Cholesky + NS triangular inverse) at the dd floor, on
+    ill-conditioned panels (kappa 1e8) and under size/batch padding."""
+    from mgbtpu.ops import ddlinalg as ddl
+
+    rng = np.random.default_rng(5)
+    for B, n, cond in ((3, 32, 1e8), (2, 17, 1e4), (130, 32, 1e6)):
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.geomspace(1.0, 1.0 / cond, n)
+        A = (Q * lam) @ Q.T
+        A = A[None] * np.exp(rng.uniform(-2, 2, (B, 1, 1)))
+        Ah, Al = df64.f64_split(A, dtype=np.float32)
+        Ah, Al = jnp.asarray(Ah), jnp.asarray(Al)
+        got = jax.jit(PD.panel_chol_inv)(Ah, Al)
+        L = ddl._dd_cholesky_rolled(Ah, Al)
+        ref = ddl.dd_tri_inverse(L[0], L[1])
+        gd = _combined(*got)
+        rd = _combined(*ref)
+        scale = np.abs(rd).max(axis=(1, 2), keepdims=True)
+        assert np.abs(gd - rd).max() < 5e-13 * scale.max(), (B, n)
+        # strict triangularity
+        iu = np.triu_indices(n, k=1)
+        assert np.abs(gd[:, iu[0], iu[1]]).max() == 0.0
