@@ -40,6 +40,21 @@ try:  # pragma: no cover - trivial
 except Exception:
     pass
 
+def _default_cache_root() -> str:
+    """Repo-local cache root: /tmp is wiped on VM restart, which makes every
+    new host pay minutes of cold TPU compiles (L=6 warm-up was 372 s cold vs
+    seconds warm). The package directory survives restarts, so compiled
+    executables and AOT exports keyed there stay warm across hosts; falls
+    back to /tmp when the package tree is read-only."""
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache")
+    try:
+        os.makedirs(root, exist_ok=True)
+        return root
+    except OSError:  # pragma: no cover - read-only install
+        return "/tmp/mgbtpu_cache"
+
+
 # Persistent compilation cache: the jitted Newton programs are large (nested
 # while loops + factorizations) and TPU compilation through the remote
 # tunnel is minutes per level; cache compiled executables across processes.
@@ -53,7 +68,7 @@ def enable_compile_cache(path=None):
         jax.config.update(
             "jax_compilation_cache_dir",
             path or os.environ.get("MGBTPU_COMPILE_CACHE",
-                                   "/tmp/mgbtpu_jaxcache"))
+                                   _default_cache_root() + "/jaxcache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -58,7 +58,10 @@ def _code_hash() -> str:
 
 
 def cache_dir() -> str:
-    return os.environ.get("MGBTPU_AOT_CACHE_DIR", "/tmp/mgbtpu_aotcache")
+    from mgbtpu._config import _default_cache_root
+
+    return os.environ.get("MGBTPU_AOT_CACHE_DIR",
+                          _default_cache_root() + "/aot")
 
 
 def enabled() -> bool:
