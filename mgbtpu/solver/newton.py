@@ -209,12 +209,20 @@ PRE_REFRESH_ND_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_ND_AT", 4))
 
 def _refresh_at(H):
     """Trace-time CG-count threshold above which the frozen preconditioner
-    is rebuilt: tight for ND direct factors, lax for everything else."""
+    is rebuilt: tight for direct-grade preconditioners (ND factors and the
+    dense-path equilibrated Cholesky — both exit CG in ~1-3 its when fresh,
+    so >4 its IS the staleness signal; the frozen dense pre at L=4 sat at
+    ~91 CG its/Newton it under the lax threshold, 6123 CG total on TPU),
+    lax for V-cycle/FSAI (healthy at ~8 its — a tight threshold would
+    rebuild every iteration on no signal)."""
     from .levelops import GramHessian
 
-    if (isinstance(H, GramHessian) and H.ctx is not None
-            and getattr(H.ctx, "nd", None) is not None):
-        return PRE_REFRESH_ND_AT
+    if isinstance(H, GramHessian):
+        if (H.ctx is not None
+                and getattr(H.ctx, "nd", None) is not None):
+            return PRE_REFRESH_ND_AT
+        if H.ctx is None:   # dense path (refresh cost gated by _refresh_allowed)
+            return PRE_REFRESH_ND_AT
     return PRE_REFRESH_AT
 # Dense-path refresh pays an n^3 factorization: measured break-even on TPU
 # sits between n_J = 1345 (refresh wins, L=4) and 5057 (frozen wins, L=5)
