@@ -40,16 +40,46 @@ try:  # pragma: no cover - trivial
 except Exception:
     pass
 
+def host_fingerprint() -> str:
+    """Stable fingerprint of the HOST CPU's feature set.
+
+    XLA:CPU AOT executables record the compile machine's features; loading
+    one on a host with a different feature set can SIGILL (the loader only
+    warns). ``platform.machine()`` is far too coarse (every x86_64 VM
+    collides), so hash the /proc/cpuinfo flags line — the actual feature
+    exposure — falling back to platform identifiers elsewhere."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        feats = platform.processor()
+    return hashlib.sha1(
+        (platform.machine() + "|" + feats).encode()).hexdigest()[:10]
+
+
 def _default_cache_root() -> str:
     """Repo-local cache root: /tmp is wiped on VM restart, which makes every
     new host pay minutes of cold TPU compiles (L=6 warm-up was 372 s cold vs
     seconds warm). The package directory survives restarts, so compiled
     executables and AOT exports keyed there stay warm across hosts; falls
-    back to /tmp when the package tree is read-only."""
+    back to /tmp when the package tree is read-only (verified by a write
+    probe, not just makedirs: an existing read-only .cache must not be
+    returned)."""
     root = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".cache")
     try:
         os.makedirs(root, exist_ok=True)
+        probe = os.path.join(root, ".wprobe")
+        with open(probe, "w"):
+            pass
+        os.unlink(probe)
         return root
     except OSError:  # pragma: no cover - read-only install
         return "/tmp/mgbtpu_cache"
@@ -62,13 +92,18 @@ def enable_compile_cache(path=None):
     """Persistent compilation cache: the jitted Newton programs are large and
     TPU compilation through the remote tunnel is slow; cache compiled
     executables across processes. Opt-in (bench/graft entry call this on the
-    TPU path): a shared on-disk cache loaded into a CPU process compiled on
-    a different host can SIGILL."""
+    TPU path). CPU-backend processes get a per-host-CPU-feature namespace:
+    XLA:CPU AOT artifacts bake compile-machine features and can SIGILL on a
+    feature-mismatched host (the repo-local cache survives VM changes, so
+    this is a real cross-host hazard, not a theoretical one); TPU
+    executables are target-compiled and shared."""
     try:  # pragma: no cover - environment dependent
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            path or os.environ.get("MGBTPU_COMPILE_CACHE",
-                                   _default_cache_root() + "/jaxcache"))
+        d = path or os.environ.get("MGBTPU_COMPILE_CACHE")
+        if d is None:
+            d = _default_cache_root() + "/jaxcache"
+            if jax.default_backend() == "cpu":
+                d += "_cpu_" + host_fingerprint()
+        jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -403,18 +403,28 @@ def _chol_inv_kernel(ah_ref, al_ref, ih_ref, il_ref):
                          jnp.concatenate([sl[None], cl], 0)))
         else:
             cols.append((sh[None], sl[None]))
-    # L in (row, col, T) form, zeros above the diagonal
-    Lh = jnp.stack([jnp.concatenate(
-        [jnp.zeros((j, T), Ah.dtype), cols[j][0]], 0) for j in range(w)], 1)
-    Ll = jnp.stack([jnp.concatenate(
-        [jnp.zeros((j, T), Ah.dtype), cols[j][1]], 0) for j in range(w)], 1)
-    # --- X = L^-1 by dd forward substitution, row by row (static) ---
+    # L in (row, col, T) form, zeros above the diagonal. j == 0 keeps the
+    # bare column: a (0, T) zeros operand fails Mosaic lowering ("vector
+    # types must have positive constant sizes").
+    def _col(j, part):
+        if j == 0:
+            return cols[0][part]
+        return jnp.concatenate(
+            [jnp.zeros((j, T), Ah.dtype), cols[j][part]], 0)
+
+    Lh = jnp.stack([_col(j, 0) for j in range(w)], 1)
+    Ll = jnp.stack([_col(j, 1) for j in range(w)], 1)
+    # --- X = L^-1 by dd forward substitution, row by row (static).
+    # No .at[].set anywhere: Mosaic has no scatter lowering — slot writes
+    # go through a static row-index mask instead. ---
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (w, T), 0)
     rows = []                           # row j of X: dd (w, T)
     for j in range(w):
         dh, dl = df64.dd_recip((Lh[j, j], Ll[j, j]))
         if j == 0:
-            rh = jnp.zeros((w, T), Ah.dtype).at[0].set(dh)
-            rl = jnp.zeros((w, T), Ah.dtype).at[0].set(dl)
+            sel = (row_id == 0)
+            rh = jnp.where(sel, dh[None], 0.0)
+            rl = jnp.where(sel, dl[None], 0.0)
         else:
             Xh = jnp.stack([r[0] for r in rows], 0)     # (j, w, T)
             Xl = jnp.stack([r[1] for r in rows], 0)
@@ -425,8 +435,9 @@ def _chol_inv_kernel(ah_ref, al_ref, ih_ref, il_ref):
             # unit rhs at slot j enters only the diagonal term: row =
             # (e_j - s) / L[j, j], and s[j] = 0 (X strictly lower there)
             rh, rl = df64.dd_mul((nh, nl), (dh[None], dl[None]))
-            rh = rh.at[j].set(dh)
-            rl = rl.at[j].set(dl)
+            sel = (row_id == j)
+            rh = jnp.where(sel, dh[None], rh)
+            rl = jnp.where(sel, dl[None], rl)
         rows.append((rh, rl))
     ih_ref[...] = jnp.stack([r[0] for r in rows], 0)
     il_ref[...] = jnp.stack([r[1] for r in rows], 0)

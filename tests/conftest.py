@@ -25,21 +25,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compile cache: the dd Newton/ramp programs take minutes of
-# XLA:CPU compile; cache them across test runs. Keyed per user and per CPU
-# (AOT artifacts compiled with other machine features can SIGILL), and an
-# explicit JAX_COMPILATION_CACHE_DIR wins.
+# XLA:CPU compile; cache them across test runs. Keyed per user and per
+# host-CPU FEATURE SET (mgbtpu._config.host_fingerprint hashes the
+# /proc/cpuinfo flags line — platform.machine() collides across every
+# x86_64 VM, and XLA:CPU AOT artifacts compiled with other machine
+# features can SIGILL on load), and an explicit JAX_COMPILATION_CACHE_DIR
+# wins.
 try:  # pragma: no cover - environment dependent
     if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-        import hashlib
-        import platform
         import tempfile
 
-        fp = hashlib.sha1(
-            (platform.machine() + platform.processor()).encode()
-        ).hexdigest()[:8]
+        from mgbtpu._config import host_fingerprint
+
         cache = os.path.join(
             tempfile.gettempdir(),
-            f"mgbtpu_testcache_{os.getuid()}_{fp}")
+            f"mgbtpu_testcache_{os.getuid()}_{host_fingerprint()}")
         jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:
