@@ -360,8 +360,9 @@ class NDDevicePlan:
                 invs.append(ip)
             self.parent_gather.append(tuple(invs))
 
-    def to_device(self):
-        """Build the jit-carriable pytree (NDDev)."""
+    def to_device(self, mesh=None):
+        """Build the jit-carriable pytree (NDDev). ``mesh`` opts the
+        numeric phase into subtree-per-device factor sharding (see NDDev)."""
         from ..utils import to_dev
 
         levels = tuple(
@@ -380,7 +381,7 @@ class NDDevicePlan:
                      elems_of_leaf=to_dev(self.elems_of_leaf, np.int32),
                      leaf_loc_inv=to_dev(self.leaf_loc_inv, np.int32),
                      b_inc=tuple(to_dev(m, np.int32) for m in self.b_inc),
-                     depth=self.depth, n_J=self.n_J)
+                     depth=self.depth, n_J=self.n_J, mesh=mesh)
 
 
 from ..utils import pytree_dataclass
@@ -396,10 +397,20 @@ class NDLevel:
     bmax: int
 
 
-@pytree_dataclass(static=("depth", "n_J"))
+@pytree_dataclass(static=("depth", "n_J", "mesh"))
 class NDDev:
     """Device-side nested-dissection plan (a pytree: flows through jit as
-    an argument like PanelOps, never baked into executables)."""
+    an argument like PanelOps, never baked into executables).
+
+    ``mesh``: optional jax.sharding.Mesh. When set, the numeric phase
+    constrains the FRONT-BATCH axis of every per-level factor block to
+    shard across the mesh (subtree-per-device: the tree ordering is
+    contiguous, so children 2i/2i+1 of parent i stay on the same shard
+    until nk < n_devices, where the top fronts replicate). This is what
+    makes multi-chip scale the dominant memory object — without it GSPMD
+    replicates the factors per chip and a mesh buys only element/node-axis
+    assembly parallelism (reference row-partition contract:
+    /root/reference/src/mgb.jl:393-403)."""
     levels: tuple          # of NDLevel, leaf..root
     leaf_of_elem: jnp.ndarray
     leaf_loc: jnp.ndarray
@@ -411,6 +422,33 @@ class NDDev:
     b_inc: tuple                 # per level: (n_J+1, Kb) flat b-positions
     depth: int
     n_J: int
+    mesh: object = None
+
+
+def _bshard(dp: "NDDev", pair_or_arr):
+    """Shard-constrain the leading (front-batch) axis over ``dp.mesh``.
+
+    Accepts an array or a (hi, lo) dd pair; no-op when no mesh is set or
+    the batch does not divide the mesh (top-of-tree fronts replicate)."""
+    if dp.mesh is None:
+        return pair_or_arr
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..parallel.sharding import AXIS
+
+    n = dp.mesh.devices.size
+
+    def one(a):
+        if a.ndim == 0 or a.shape[0] % n != 0 or a.shape[0] < n:
+            return a
+        spec = [None] * a.ndim
+        spec[0] = AXIS
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(dp.mesh, PartitionSpec(*spec)))
+
+    if isinstance(pair_or_arr, tuple):
+        return tuple(one(a) for a in pair_or_arr)
+    return one(pair_or_arr)
 
 
 def _row_searchsorted(A, v):
@@ -477,12 +515,12 @@ def nd_factor(dp: "NDDev", He, diag_shift):
         A = F[:, :amax, :amax]
         B = F[:, amax:amax + bmax, :amax]
         C_ = F[:, amax:amax + bmax, amax:amax + bmax]
-        Lf = jnp.linalg.cholesky(A)
-        U = lax.linalg.triangular_solve(Lf, B, left_side=False, lower=True,
-                                        transpose_a=True)
-        S_prev = C_ - jax.lax.dot_general(
+        Lf = _bshard(dp, jnp.linalg.cholesky(A))
+        U = _bshard(dp, lax.linalg.triangular_solve(
+            Lf, B, left_side=False, lower=True, transpose_a=True))
+        S_prev = _bshard(dp, C_ - jax.lax.dot_general(
             U, U, (((2,), (2,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST)
+            precision=jax.lax.Precision.HIGHEST))
         fact.append((Lf, U))
     return tuple(fact)
 
@@ -671,8 +709,8 @@ def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
             # kept (dd_cholesky_pform reuses the panel inverses the
             # blocked recursion computes anyway). U rides the blocked
             # GEMM right-solve; substitution-grade accuracy.
-            Lf = dd_cholesky_pform(Ah, Al)
-            U = dd_tri_solve_right_pinv(Lf[0], Lf[1], Bh, Bl)
+            Lf = _bshard(dp, dd_cholesky_pform(Ah, Al))
+            U = _bshard(dp, dd_tri_solve_right_pinv(Lf[0], Lf[1], Bh, Bl))
         elif TRI_INV:
             # store L^-1 (Newton-Schulz, MXU) instead of L: U becomes one
             # Ozaki GEMM here and every solve-time substitution becomes a
@@ -680,12 +718,12 @@ def nd_factor_dd(dp: "NDDev", Heh, Hel, diag_shift):
             # cancels (ops/ddlinalg.py TRI_MODE note); kept for A/Bs.
             Lf = dd_cholesky(Ah, Al)
             Li = dd_tri_inverse(Lf[0], Lf[1])
-            U = dd_matmul_nt_any((Bh, Bl), Li)
-            Lf = Li
+            U = _bshard(dp, dd_matmul_nt_any((Bh, Bl), Li))
+            Lf = _bshard(dp, Li)
         else:
-            Lf = dd_cholesky(Ah, Al)
-            U = dd_tri_solve_right(Lf[0], Lf[1], Bh, Bl)
-        S_prev = dd_syrk_sub(Ch, Cl, U[0], U[1])
+            Lf = _bshard(dp, dd_cholesky(Ah, Al))
+            U = _bshard(dp, dd_tri_solve_right(Lf[0], Lf[1], Bh, Bl))
+        S_prev = _bshard(dp, dd_syrk_sub(Ch, Cl, U[0], U[1]))
         fact.append((Lf, U))
     return tuple(fact)
 
@@ -753,9 +791,14 @@ def nd_solve_dd(dp: "NDDev", fact, rh, rl=None):
 def nd_memory_report(dp) -> dict:
     """Analytic memory model of the factorization (bytes), per level and
     total, for capacity planning at scale (the 1M-DOF target) and for the
-    multi-chip story: the factors are REPLICATED per device under a mesh
-    (each chip holds the full factor; only the element/node-axis assembly
-    work shards), so ``factor_dd_bytes`` must fit in one chip's HBM.
+    multi-chip story: with ``NDDev.mesh`` set the mesh-divisible (bottom)
+    tree levels shard their factor blocks subtree-per-device (verified by
+    tests/test_ndchol.py::test_nd_factor_subtree_sharding: per-device
+    bytes = total/n_devices on those levels), and only the top
+    nk < n_devices fronts replicate — so the per-chip requirement is
+    ~``factor_dd_bytes``/n_devices + the top-of-tree tail. Without a mesh
+    (or for non-divisible levels) the full factor must fit in one chip's
+    HBM.
 
     Counts the stored factor blocks (L: nk*amax^2, U: nk*bmax*amax) plus
     the peak transient front/Schur pair at each level (F: nk*(amax+bmax)^2,

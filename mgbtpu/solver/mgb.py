@@ -274,7 +274,8 @@ class ProblemKernels:
             exy = X.reshape(base.N, base.p, -1).mean(axis=1)
             nd = NDDevicePlan(
                 NDPlan(cols_host, base.n_J, exy,
-                       leaf_elems=self.ND_LEAF_ELEMS)).to_device()
+                       leaf_elems=self.ND_LEAF_ELEMS)).to_device(
+                           mesh=self.mesh)
             _debug_timing(f"nd_plan[{l}] n_J={base.n_J}", t0)
             ctx = PCGContext(coarse_ops=(), transfers=(),
                              n_levels=0, dense_level=-1, nd=nd)

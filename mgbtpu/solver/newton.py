@@ -205,6 +205,10 @@ PREDICTOR = _os.environ.get("MGBTPU_PREDICTOR", "1") != "0"
 PRE_REFRESH = _os.environ.get("MGBTPU_PRE_REFRESH", "auto")
 PRE_REFRESH_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_AT", 96))
 PRE_REFRESH_ND_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_ND_AT", 4))
+# dense-path staleness threshold: its OWN knob (defaulting to the ND value)
+# so tuning the ND refresh does not silently retune the dense path too
+PRE_REFRESH_DENSE_AT = int(_os.environ.get("MGBTPU_PRE_REFRESH_DENSE_AT",
+                                           PRE_REFRESH_ND_AT))
 
 
 def _refresh_at(H):
@@ -222,7 +226,7 @@ def _refresh_at(H):
                 and getattr(H.ctx, "nd", None) is not None):
             return PRE_REFRESH_ND_AT
         if H.ctx is None:   # dense path (refresh cost gated by _refresh_allowed)
-            return PRE_REFRESH_ND_AT
+            return PRE_REFRESH_DENSE_AT
     return PRE_REFRESH_AT
 # Dense-path refresh pays an n^3 factorization: measured break-even on TPU
 # sits between n_J = 1345 (refresh wins, L=4) and 5057 (frozen wins, L=5)

@@ -380,3 +380,48 @@ def test_ozaki_bits_35_syrk_accuracy():
         got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
         scale = np.abs(A @ np.swapaxes(A, 1, 2)).max()
         assert np.abs(got - ref).max() < tol * scale, bits
+
+
+def test_nd_factor_subtree_sharding():
+    """Multi-chip factor distribution (subtree-per-device): under a mesh
+    the per-device bytes of every mesh-divisible tree level's factor
+    blocks drop to total/n_devices (contiguous subtree ordering keeps
+    children with their parent shard); only the top nk < n_devices fronts
+    replicate. Solutions match the unsharded factorization exactly.
+
+    Reference row-partition contract: /root/reference/src/mgb.jl:393-403
+    (the reference ships the hooks; the factors there live rank-local in
+    the out-of-tree MPI backend — here the mesh shards them natively)."""
+    n_dev = min(8, len(jax.devices()))
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    from mgbtpu.parallel.sharding import make_mesh
+
+    cols, n, xy, He = _grid_case(20, 20, seed=3)
+    plan = NDPlan(cols, n, xy, leaf_elems=6)
+    mesh = make_mesh(n_dev)
+    dp = NDDevicePlan(plan).to_device(mesh=mesh)
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal(n))
+    fact = jax.jit(nd_factor, static_argnames=())(
+        dp, jnp.asarray(He), 1e-12)
+    x = np.asarray(nd_solve(dp, fact, rhs))
+    x0 = np.linalg.solve(_assemble_dense(plan, He, 1e-12), np.asarray(rhs))
+    assert np.abs(x - x0).max() <= 1e-10 * np.abs(x0).max()
+
+    total = shard_max = 0
+    saw_sharded = False
+    for (Lf, U), L in zip(fact, dp.levels):
+        for a in (Lf, U):
+            total += a.nbytes
+            per_dev = int(np.prod(a.sharding.shard_shape(a.shape))
+                          ) * a.dtype.itemsize
+            shard_max += per_dev
+            if L.nk % n_dev == 0 and L.nk >= n_dev:
+                # mesh-divisible level: must actually shard 1/n per device
+                assert per_dev * n_dev == a.nbytes, (L.nk, a.shape)
+                saw_sharded = True
+    assert saw_sharded
+    # the replicated top-of-tree is a small fraction: per-device footprint
+    # must be well under half of the full factor for an 8-device mesh
+    assert shard_max < 0.55 * total, (shard_max, total)

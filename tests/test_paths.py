@@ -120,3 +120,63 @@ def test_slit_domain_connectivity():
     zs = solve(g_slit)
     assert abs(zg[1] - zg[2]) < 1e-6       # same node value (glued)
     assert np.isfinite(zs).all()
+
+
+def test_pyamg_prolongator_adapter(monkeypatch):
+    """The pyamg-backed prolongator adapter (hierarchy/prolongators.py
+    amg_pyamg): solver-name dispatch, csr conversion, and per-level P
+    extraction — driven end-to-end through amg()/mgb_solve with a stub
+    pyamg module whose rootnode_solver wraps the in-tree smoothed-
+    aggregation coarsening (pyamg itself is not in this image; the real-
+    pyamg agreement case below engages wherever it imports). Mirrors the
+    reference's cross-prolongator agreement design
+    (/root/reference/test/test_algebraic.jl:1-76)."""
+    import sys
+    import types
+
+    import scipy.sparse as sp
+
+    from mgbtpu.hierarchy.prolongators import (amg_pyamg,
+                                               amg_smoothed_aggregation)
+
+    sa = amg_smoothed_aggregation(max_coarse=2)
+    calls = {}
+
+    def rootnode_solver(K, **kwargs):
+        calls["K"] = K
+        levels = []
+        for P in sa(sp.csr_matrix(K)):
+            lvl = types.SimpleNamespace(P=sp.csr_matrix(P))
+            levels.append(lvl)
+        levels.append(types.SimpleNamespace(P=None))   # coarsest level
+        return types.SimpleNamespace(levels=levels)
+
+    fake = types.ModuleType("pyamg")
+    fake.rootnode_solver = rootnode_solver
+    fake.smoothed_aggregation_solver = rootnode_solver
+    fake.ruge_stuben_solver = rootnode_solver
+    monkeypatch.setitem(sys.modules, "pyamg", fake)
+
+    g = subdivide(fem2d_P2(), 2)
+    z_py = mgb_solve(assemble(
+        amg(g, prolongator=amg_pyamg(solver="rootnode")), p=1.5)).z
+    z_sa = mgb_solve(assemble(
+        amg(g, prolongator=amg_smoothed_aggregation(max_coarse=2)), p=1.5)).z
+    assert sp.issparse(calls["K"])
+    assert np.abs(z_py - z_sa).max() < 1e-6
+
+
+def test_pyamg_prolongator_real():
+    """Real-pyamg agreement (runs wherever pyamg is installed): rootnode
+    prolongators solve the same p-Laplacian to the same solution as the
+    in-tree Ruge-Stuben coarsening (reference cross-prolongator contract,
+    /root/reference/ext/MultiGridBarrierPyAMGExt.jl:27-49)."""
+    pytest.importorskip("pyamg")
+    from mgbtpu.hierarchy.prolongators import amg_pyamg
+
+    g = subdivide(fem2d_P2(), 2)
+    z_py = mgb_solve(assemble(
+        amg(g, prolongator=amg_pyamg(solver="rootnode")), p=1.5)).z
+    z_rs = mgb_solve(assemble(
+        amg(g, prolongator=amg_ruge_stuben(max_coarse=2)), p=1.5)).z
+    assert np.abs(z_py - z_rs).max() < 1e-6
