@@ -223,8 +223,12 @@ class ProblemKernels:
     DENSE_MAX = int(__import__("os").environ.get("MGBTPU_DENSE_MAX", 2048))
     DENSE_BASE = int(__import__("os").environ.get("MGBTPU_DENSE_BASE", 2048))
     MAX_VCYCLE = int(__import__("os").environ.get("MGBTPU_MAX_VCYCLE", 3))
-    # nested-dissection leaf size (elements per leaf front)
-    ND_LEAF_ELEMS = int(__import__("os").environ.get("MGBTPU_ND_LEAF", 16))
+    # nested-dissection leaf size (elements per leaf front). 8 beats 16
+    # and 4 on TPU (same-session L=6 A/B, .bench/leaf_ab_l6_gc.log:
+    # dd factor 43.2 / 52.8 / 58.4 ms): the leaf pform's full-width Ozaki
+    # GEMM combines scale quadratically with the leaf front width, while
+    # each extra tree level costs ~3 ms of fixed latency — 8 is the knee.
+    ND_LEAF_ELEMS = int(__import__("os").environ.get("MGBTPU_ND_LEAF", 8))
 
     def _plain_ops(self, l):
         if l not in self._ops:
