@@ -352,8 +352,14 @@ def dd_syrk_sub_vpu(Ch, Cl, Uh, Ul):
 # ---------------------------------------------------------------------------
 
 # diagonal-panel factor mode for the P-form factorization (see
-# _panel_factor): "rolled" (default) or "ir" (GEMM-form Newton-IR seed)
-PANEL_MODE = _os.environ.get("MGBTPU_DD_PANEL", "rolled")
+# _panel_factor): "pallas" (default — the fused Mosaic chol+inverse
+# kernel; falls back to rolled off-TPU via pallas_dd.enabled()),
+# "rolled" (XLA fori column loop), or "ir" (GEMM-form Newton-IR seed).
+# Same-session L=6 TPU A/B with grouped combine + LEAF=8: pallas 38.3 ms
+# vs rolled 43.2 ms dd ND factor (.bench/leaf_ab_l6_gc_pallas.log); the
+# kernel matches the f64 oracle at the same grade as the NS path
+# (tests/test_pallas.py::test_panel_chol_inv_matches_rolled_oracle).
+PANEL_MODE = _os.environ.get("MGBTPU_DD_PANEL", "pallas")
 PANEL_IR_STEPS = int(_os.environ.get("MGBTPU_DD_PANEL_IR_STEPS", 3))
 
 TRI_MODE = _os.environ.get("MGBTPU_DD_TRI_INV", "panel")

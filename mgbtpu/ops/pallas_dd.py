@@ -446,10 +446,15 @@ def _chol_inv_kernel(ah_ref, al_ref, ih_ref, il_ref):
 def panel_chol_inv(Ah, Al):
     """Batched dd SPD panel (B, n, n) -> dd inverse Cholesky factor
     L^-1 (lower triangular), n <= _PANEL_W. One fused kernel; identity
-    padding on both the size and batch axes (pads invert to themselves)."""
+    padding on both the size and batch axes (pads invert to themselves).
+
+    The kernel width adapts to n (next power of two, min 8 — the f32
+    sublane tile): the in-kernel factor + substitution chain is O(w)
+    serial, and the tiny upper-tree ND fronts (n = 3..15) would otherwise
+    pay the full 32-column chain for a 3-column factorization."""
     pl, pltpu = _pl()
     B, n, _ = Ah.shape
-    w = _PANEL_W
+    w = min(_PANEL_W, max(8, 1 << (n - 1).bit_length()))
     dt = Ah.dtype
     if n < w:
         pad = w - n

@@ -185,7 +185,8 @@ def test_panel_chol_inv_matches_rolled_oracle():
     from mgbtpu.ops import ddlinalg as ddl
 
     rng = np.random.default_rng(5)
-    for B, n, cond in ((3, 32, 1e8), (2, 17, 1e4), (130, 32, 1e6)):
+    for B, n, cond in ((3, 32, 1e8), (2, 17, 1e4), (130, 32, 1e6),
+                       (5, 3, 1e4), (64, 9, 1e6)):   # adaptive small widths
         Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
         lam = np.geomspace(1.0, 1.0 / cond, n)
         A = (Q * lam) @ Q.T
