@@ -72,6 +72,15 @@ elif stage == "newton":
         stopping=("inexact", 0.5, 0.25))
     print(f"newton OK {time.time()-t0:.1f}s k={k} status={status} cg={cg}",
           flush=True)
+elif stage == "full":
+    # the real mgb_solve with phase logging: the stage bisect passes but
+    # the full solve crashes the worker — find WHICH program/phase dies
+    from mgbtpu import mgb_solve
+    t0 = time.time()
+    sol = mgb_solve(prob, verbose=True)
+    m = sol.SOL_main
+    print(f"full OK {time.time()-t0:.1f}s its={int(m['its'].sum())} "
+          f"cg={int(m['cg'].sum())}", flush=True)
 elif stage in ("ramp1", "ramp"):
     steps = 1 if stage == "ramp1" else 40
     t0 = time.time()
@@ -94,6 +103,8 @@ for st in stages:
                        cwd="/root/repo", timeout=3600,
                        capture_output=True, text=True)
     out = (r.stdout or "") + (r.stderr or "")
+    with open(f"/root/repo/.bench/l7_stage_{st}.out", "w") as f:
+        f.write(out)
     tail = [ln for ln in out.splitlines()
             if ln and "Warning" not in ln and "warn" not in ln][-6:]
     print("\n".join(tail), flush=True)

@@ -802,8 +802,19 @@ def mgb_core(kern: ProblemKernels, z, c, args, *, w, bw, tol, t, maxit=10000,
     # centering / bisection need anyway, so fusing only adds compile time.
     # MGBTPU_FUSED_RAMP=1/0 overrides (tests force 1 for ramp coverage).
     env_fused = __import__("os").environ.get("MGBTPU_FUSED_RAMP")
+    # Size cap: at fem2d_P2 L=7 (n_J=81,665) the fused ramp chunk crashes
+    # the TPU worker once the initial-centering newton programs are also
+    # resident ("TPU worker process crashed or restarted"), while the SAME
+    # chunk program runs fine in a fresh process (.bench/l7_bisect_r5.log)
+    # and the host-stepped loop completes the whole solve
+    # (.bench/l7_stage_full_hostloop.out: its=203). Above the cap the
+    # host loop is also nearly free: one dispatch per centering (~0.1 s
+    # through the tunnel) amortizes over minutes-long centerings at that
+    # scale. MGBTPU_FUSED_RAMP=1 still forces fused for A/Bs.
+    fused_max = int(__import__("os").environ.get("MGBTPU_FUSED_MAX", 65536))
+    n_fine = kern.ops(L - 1).n_J
     want_fused = (env_fused != "0") if env_fused is not None \
-        else jax.default_backend() != "cpu"
+        else (jax.default_backend() != "cpu" and n_fine <= fused_max)
     fused = fusable_stop and want_fused
     if isinstance(early_stop, tuple):
         # materialize the structured feasibility stop as a host closure for
