@@ -220,7 +220,12 @@ class ProblemKernels:
     # (top 5057): 164s/101 its/155 CG as ND vs 800-980s/14k-26k CG dense.
     # Small tops stay dense (L=4 top 1345: 43s dense vs 83s ND — the
     # per-iteration rolled-loop refactorization dominates at small n).
-    DENSE_MAX = int(__import__("os").environ.get("MGBTPU_DENSE_MAX", 2048))
+    # 1024 (was 2048): the dense path's f32-only preconditioner is
+    # structurally weak at deep t (eps32 * kappa_eq > 1 — no refresh
+    # policy fixes that), which burned 5,528 CG its at fem2d_P2 L=4 on
+    # TPU; the dd ND path at the same level runs cg=69, its 67->59,
+    # solve 1.436->1.214 s (.bench/curve_r5_l4nd.log).
+    DENSE_MAX = int(__import__("os").environ.get("MGBTPU_DENSE_MAX", 1024))
     DENSE_BASE = int(__import__("os").environ.get("MGBTPU_DENSE_BASE", 2048))
     MAX_VCYCLE = int(__import__("os").environ.get("MGBTPU_MAX_VCYCLE", 3))
     # nested-dissection leaf size (elements per leaf front). 8 beats 16
